@@ -1,0 +1,198 @@
+"""Minimal biological sequence objects (no Biopython dependency).
+
+Provides the subset of sequence functionality the pipeline needs:
+nucleotide reverse-complement, translation with NCBI genetic codes,
+and record/feature containers used by the GenBank/FASTA IO layer
+(``gecco_tpu.seqio``).
+
+Behavioral reference for the record/feature data carried around:
+``/root/reference/gecco/model.py:240-344`` (Bio.SeqRecord usage) —
+re-designed as plain lightweight classes here.
+"""
+
+from dataclasses import dataclass, field
+from typing import Dict, Iterator, List, Optional, Tuple, Union
+
+__all__ = [
+    "Seq",
+    "reverse_complement",
+    "translate",
+    "SeqRecord",
+    "SeqFeature",
+    "FeatureLocation",
+    "GENETIC_CODES",
+]
+
+_COMPLEMENT = str.maketrans(
+    "ACGTUMRWSYKVHDBNacgtumrwsykvhdbn",
+    "TGCAAKYWSRMBDHVNtgcaakywsrmbdhvn",
+)
+
+# NCBI genetic code tables as (AAs string indexed by codon rank, starts string).
+# Codon rank: 16*b1 + 4*b2 + b3 with T=0, C=1, A=2, G=3 (NCBI ordering).
+# Table 1 = standard, table 4 = mold/protozoan mito, table 11 = bacterial.
+_NCBI_BASES = "TCAG"
+GENETIC_CODES: Dict[int, Tuple[str, str]] = {
+    1: (
+        "FFLLSSSSYY**CC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG",
+        "---M------**--*----M---------------M----------------------------",
+    ),
+    4: (
+        "FFLLSSSSYY**CCWWLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG",
+        "--MM------**-------M------------MMMM---------------M------------",
+    ),
+    11: (
+        "FFLLSSSSYY**CC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG",
+        "---M------**--*----M------------MMMM---------------M------------",
+    ),
+}
+
+_BASE_INDEX = {"T": 0, "U": 0, "C": 1, "A": 2, "G": 3}
+
+
+def _codon_rank(codon: str) -> int:
+    """Rank of a codon in NCBI table order, or -1 if ambiguous."""
+    r = 0
+    for ch in codon:
+        idx = _BASE_INDEX.get(ch)
+        if idx is None:
+            return -1
+        r = r * 4 + idx
+    return r
+
+
+def reverse_complement(seq: str) -> str:
+    """Reverse-complement a nucleotide string (IUPAC-aware)."""
+    return seq.translate(_COMPLEMENT)[::-1]
+
+
+def translate(
+    seq: str,
+    table: int = 11,
+    to_stop: bool = False,
+    stop_symbol: str = "*",
+) -> str:
+    """Translate a nucleotide sequence to amino acids.
+
+    Trailing partial codons are ignored.  Ambiguous codons translate to
+    ``X`` unless every resolution agrees (we keep it simple: ambiguous →
+    ``X``, except fully-determined stop/aa via the table).
+    """
+    aas, _ = GENETIC_CODES[table]
+    seq = seq.upper()
+    out: List[str] = []
+    for i in range(0, len(seq) - 2, 3):
+        rank = _codon_rank(seq[i : i + 3])
+        aa = aas[rank] if rank >= 0 else "X"
+        if aa == "*":
+            if to_stop:
+                break
+            out.append(stop_symbol)
+        else:
+            out.append(aa)
+    return "".join(out)
+
+
+class Seq(str):
+    """A string subclass with nucleotide/protein convenience methods."""
+
+    def reverse_complement(self) -> "Seq":
+        return Seq(reverse_complement(self))
+
+    def translate(self, table: int = 11, to_stop: bool = False) -> "Seq":
+        return Seq(translate(self, table=table, to_stop=to_stop))
+
+
+class UnknownSeq(Seq):
+    """A lazily-materialized run of ``N`` used when only coordinates are known.
+
+    Mirrors the role of ``gecco/model.py:598-618`` (`_UnknownSeq`): genes
+    loaded from tables have no real source sequence, but code may still
+    slice it.
+    """
+
+    def __new__(cls, length: int = 0):
+        obj = super().__new__(cls, "")
+        obj._length = length  # type: ignore[attr-defined]
+        return obj
+
+    def __getitem__(self, index):  # noqa: D105
+        if isinstance(index, slice):
+            start = index.start or 0
+            stop = index.stop if index.stop is not None else start
+            step = index.step or 1
+            return Seq("N" * max(0, (stop - start) // step))
+        return "N"
+
+
+@dataclass
+class FeatureLocation:
+    """A 0-based, end-exclusive location on a sequence."""
+
+    start: int
+    end: int
+    strand: Optional[int] = None
+
+    def __add__(self, offset: int) -> "FeatureLocation":
+        return FeatureLocation(self.start + offset, self.end + offset, self.strand)
+
+    def __len__(self) -> int:
+        return self.end - self.start
+
+    def extract(self, seq: str) -> Seq:
+        sub = seq[self.start : self.end]
+        if self.strand == -1:
+            return Seq(reverse_complement(sub))
+        return Seq(sub)
+
+
+@dataclass
+class SeqFeature:
+    """A located, typed annotation with multi-valued qualifiers."""
+
+    location: FeatureLocation
+    type: str = "misc_feature"
+    qualifiers: Dict[str, List[str]] = field(default_factory=dict)
+
+
+@dataclass
+class SeqRecord:
+    """A named sequence with annotations and features."""
+
+    id: str
+    seq: Seq = Seq("")
+    name: str = ""
+    description: str = ""
+    annotations: Dict[str, object] = field(default_factory=dict)
+    features: List[SeqFeature] = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        if not self.name:
+            self.name = self.id
+
+    def __len__(self) -> int:
+        return len(self.seq)
+
+    def __getitem__(self, index: slice) -> "SeqRecord":
+        """Slice the record, keeping features fully contained in the window."""
+        if not isinstance(index, slice):
+            raise TypeError("SeqRecord can only be sliced")
+        start = index.start or 0
+        stop = index.stop if index.stop is not None else len(self.seq)
+        features = [
+            SeqFeature(
+                FeatureLocation(f.location.start - start, f.location.end - start, f.location.strand),
+                f.type,
+                {k: list(v) for k, v in f.qualifiers.items()},
+            )
+            for f in self.features
+            if f.location.start >= start and f.location.end <= stop
+        ]
+        return SeqRecord(
+            id=self.id,
+            seq=Seq(self.seq[start:stop]),
+            name=self.name,
+            description=self.description,
+            annotations=dict(self.annotations),
+            features=features,
+        )
