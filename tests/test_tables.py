@@ -28,7 +28,7 @@ def test_feature_table_roundtrip_bitexact():
     with open(FEATURES, "rb") as f:
         original = f.read()
     table = FeatureTable.loads(original)
-    assert len(table) == 36
+    assert len(table) == 37
     assert table.dumps() == original
 
 
@@ -53,8 +53,8 @@ def test_gene_table_to_genes():
 def test_feature_table_to_genes():
     table = FeatureTable.load(FEATURES)
     genes = list(table.to_genes())
-    # 13 of the 23 genes carry domains
-    assert len(genes) == 13
+    # 16 of the 23 genes carry domains
+    assert len(genes) == 16
     by_id = {g.protein.id: g for g in genes}
     gene = by_id["BGC0001866.1_1"]
     assert [d.name for d in gene.protein.domains] == ["PF00394", "PF07731"]
