@@ -509,9 +509,11 @@ class ClusterTable(Table):
                 data["type"].append(str(cluster.type))
                 for name in sorted(cluster.type_probabilities, key=str.casefold):
                     data[f"{name.lower()}_probability"].append(cluster.type_probabilities[name])
-            data["proteins"].append(";".join(sorted(g.protein.id for g in cluster.genes)))
+            # NB: matches the shipped goldens (tests/test_cli/data/*.clusters.tsv):
+            # proteins in gene order, domains unique and sorted
+            data["proteins"].append(";".join(g.protein.id for g in cluster.genes))
             data["domains"].append(";".join(sorted(
-                d.name for g in cluster.genes for d in g.protein.domains
+                {d.name for g in cluster.genes for d in g.protein.domains}
             )))
         table = cls(dict(data))
         # keep the dynamic probability columns between `type` and `proteins`
