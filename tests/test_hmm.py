@@ -1,0 +1,232 @@
+"""Profile-HMM engine and pipeline tests (minipfam fixture).
+
+Replicates the reference's pyhmmer test contract
+(``/root/reference/tests/test_hmmer/test_pyhmmer.py:38-47``: 3 of 3
+fixture proteins annotated; whitelisting PF10417 → 1) and adds the
+kernel-level parity harness the reference lacks: the batched JAX
+engines are tested against the float64 host engine, and the host engine
+against brute-force enumeration on a tiny hand-built model.
+"""
+
+import itertools
+import math
+
+import numpy
+import pytest
+
+from gecco_tpu import seqio
+from gecco_tpu.hmm import HMM, ProfileHMMAnnotator, embedded_hmms
+from gecco_tpu.hmm import batch, engine
+from gecco_tpu.hmm.io import AMINO_ALPHABET, BACKGROUND_F, ProfileHMM, encode_sequence, parse_hmmer3
+from gecco_tpu.hmm.pipeline import SearchPipeline
+from gecco_tpu.hmm.profile import configure_local, length_model, match_occupancy, null1_score
+from gecco_tpu.model import Gene, Protein, Strand
+
+from conftest import reference_path
+
+MINIPFAM = reference_path("test_hmmer", "data", "minipfam.hmm")
+PROTEINS = reference_path("test_hmmer", "data", "proteins.faa")
+
+
+@pytest.fixture(scope="module")
+def profiles():
+    return [configure_local(p) for p in parse_hmmer3(MINIPFAM)]
+
+
+@pytest.fixture(scope="module")
+def sequences():
+    return [
+        (record.id, encode_sequence(str(record.seq)))
+        for record in seqio.parse(PROTEINS)
+    ]
+
+
+def test_parse_minipfam():
+    raw = list(parse_hmmer3(MINIPFAM))
+    assert len(raw) == 10
+    assert raw[0].accession == "PF10417.11"
+    assert raw[0].length == 40
+    assert raw[0].stats["MSV"] == (-7.5463, 0.71948)
+    # emission and transition rows are normalized probability distributions
+    for p in raw:
+        assert numpy.allclose(p.match[1:].sum(axis=1), 1.0, atol=1e-4)
+        assert numpy.allclose(p.trans[1:-1, :3].sum(axis=1), 1.0, atol=1e-4)
+
+
+def test_occupancy_and_entry(profiles):
+    for gm in profiles:
+        occ = match_occupancy(gm.hmm)
+        assert ((occ[1:] >= 0) & (occ[1:] <= 1)).all()
+        # entry distribution sums to <= 1 over start positions
+        entry = numpy.exp(gm.bm[1:])
+        assert entry.sum() <= 1.0 + 1e-9
+
+
+def test_forward_equals_backward(profiles, sequences):
+    gm = profiles[0]
+    _, x = sequences[0]
+    f = engine.forward(gm, x)
+    b = engine.backward(gm, x)
+    assert f.score == pytest.approx(b.score, abs=1e-8)
+
+
+def test_forward_dominates_viterbi_dominates_nothing(profiles, sequences):
+    gm = profiles[0]
+    _, x = sequences[0]
+    fwd = engine.forward(gm, x).score
+    vit = engine.viterbi_score(gm, x)
+    assert fwd >= vit
+
+
+def test_posteriors_sum_to_one(profiles, sequences):
+    gm = profiles[0]
+    _, x = sequences[0]
+    f, b = engine.forward(gm, x), engine.backward(gm, x)
+    post = engine.posterior_decode(gm, x, f, b)
+    # each emitted residue is accounted for: core model + NJC mass == 1
+    core = post.ppM[1:].sum(axis=1) + post.ppI[1:].sum(axis=1)
+    total = core + (1.0 - post.mocc[1:])
+    assert numpy.allclose(total, 1.0, atol=1e-6)
+
+
+def _toy_profile():
+    """A tiny 3-node HMM for brute-force validation."""
+    rng = numpy.random.default_rng(7)
+    M = 3
+    match = numpy.zeros((M + 1, 20))
+    insert = numpy.zeros((M + 1, 20))
+    trans = numpy.zeros((M + 1, 7))
+    for k in range(M + 1):
+        match[k] = rng.dirichlet(numpy.ones(20))
+        insert[k] = BACKGROUND_F
+        mm = rng.dirichlet(numpy.ones(3) * 5)
+        im = rng.dirichlet(numpy.ones(2) * 5)
+        dm = rng.dirichlet(numpy.ones(2) * 5)
+        trans[k] = [mm[0], mm[1], mm[2], im[0], im[1], dm[0], dm[1]]
+    trans[M] = [1.0, 0.0, 0.0, 0.5, 0.5, 1.0, 0.0]
+    return ProfileHMM(
+        name="toy", accession="TOY00001", description=None, length=M,
+        alphabet="amino", match=match, insert=insert, trans=trans,
+        stats={"MSV": (-5.0, 0.7), "VITERBI": (-5.0, 0.7), "FORWARD": (-3.0, 0.7)},
+    )
+
+
+def _brute_force_forward(gm, x):
+    """Exact path enumeration of the full local multihit state machine."""
+    L, M = len(x), gm.M
+    loop, move = length_model(L)
+    paths = []
+
+    def go(state, k, i, logp):
+        # state ∈ {N, B, M, I, D, E, J, C}; i residues consumed so far
+        if logp == -numpy.inf:
+            return
+        if state == "N":
+            if i < L:
+                go("N", 0, i + 1, logp + loop)
+            go("B", 0, i, logp + move)
+        elif state == "B":
+            if i < L:
+                for k2 in range(1, M + 1):
+                    go("M", k2, i + 1, logp + gm.bm[k2] + gm.msc[k2, x[i]])
+        elif state == "M":
+            go("E", 0, i, logp)  # free local exit
+            if k < M:
+                if i < L:
+                    go("M", k + 1, i + 1, logp + gm.tmm[k] + gm.msc[k + 1, x[i]])
+                    go("I", k, i + 1, logp + gm.tmi[k])
+                go("D", k + 1, i, logp + gm.tmd[k])
+        elif state == "I":
+            if i < L:
+                go("M", k + 1, i + 1, logp + gm.tim[k] + gm.msc[k + 1, x[i]])
+                go("I", k, i + 1, logp + gm.tii[k])
+        elif state == "D":
+            go("E", 0, i, logp)  # D -> E free in local mode
+            if k < M:
+                if i < L:
+                    go("M", k + 1, i + 1, logp + gm.tdm[k] + gm.msc[k + 1, x[i]])
+                go("D", k + 1, i, logp + gm.tdd[k])
+        elif state == "E":
+            go("J", 0, i, logp + gm.loop_e)
+            go("C", 0, i, logp + gm.move_e)
+        elif state == "J":
+            if i < L:
+                go("J", 0, i + 1, logp + loop)
+            go("B", 0, i, logp + move)
+        elif state == "C":
+            if i < L:
+                go("C", 0, i + 1, logp + loop)
+            elif i == L:
+                paths.append(logp + move)  # C -> T
+
+    go("N", 0, 0, 0.0)
+    return numpy.logaddexp.reduce(numpy.array(paths))
+
+
+def test_forward_matches_brute_force():
+    """Exact enumeration over every path equals the Forward DP."""
+    raw = _toy_profile()
+    gm = configure_local(raw)
+    x = numpy.array([3, 7, 1, 0], dtype=numpy.int32)
+    enumerated = _brute_force_forward(gm, x)
+    full = engine.forward(gm, x).score
+    assert full == pytest.approx(enumerated, abs=1e-9)
+
+
+def test_batch_forward_matches_engine(profiles, sequences):
+    bank = batch.ProfileBank.build(profiles)
+    xs = [x for _, x in sequences]
+    scores = batch.forward_scores(bank, xs)
+    for s, x in enumerate(xs):
+        for p, gm in enumerate(profiles):
+            reference = engine.forward(gm, x).score
+            assert scores[s, p] == pytest.approx(reference, abs=5e-3), (s, p)
+
+
+def test_batch_msv_matches_engine(profiles, sequences):
+    bank = batch.ProfileBank.build(profiles)
+    xs = [x for _, x in sequences]
+    scores = batch.msv_scores(bank, xs)
+    for s, x in enumerate(xs):
+        for p, gm in enumerate(profiles):
+            reference = engine.msv_score(gm, x)
+            assert scores[s, p] == pytest.approx(reference, abs=5e-3), (s, p)
+
+
+def test_pipeline_reports_expected_hits(profiles, sequences):
+    pipeline = SearchPipeline(profiles, Z=10, domZ=10)
+    hits = pipeline.search([x for _, x in sequences])
+    strong = {(h.sequence_index, h.profile.accession.split(".")[0]) for h in hits if h.evalue < 1e-6}
+    assert strong == {(0, "PF10417"), (1, "PF12574"), (2, "PF00244")}
+    for hit in hits:
+        for dom in hit.domains:
+            assert 1 <= dom.target_from <= dom.target_to
+            assert 1 <= dom.hmm_from <= dom.hmm_to <= hit.profile.M
+            assert dom.i_evalue == pytest.approx(dom.pvalue * 10)
+
+
+def test_annotator_contract(sequences):
+    """The reference test contract: 3 genes annotated; whitelist → 1."""
+    records = list(seqio.parse(PROTEINS))
+    hmm = HMM(
+        id="Pfam", version="vX.Y", url="http://example.com",
+        path=MINIPFAM, size=10, relabel_with=r"s/(PF\d+).\d+/\1/",
+    )
+
+    def make_genes():
+        return [
+            Gene(r, 1, len(str(r.seq)) * 3 + 1, Strand.Coding, Protein(r.id, r.seq))
+            for r in records
+        ]
+
+    annotator = ProfileHMMAnnotator(hmm, cpus=1)
+    genes = annotator.run(make_genes())
+    assert sum(1 for g in genes if g.protein.domains) == 3
+
+    annotator = ProfileHMMAnnotator(hmm, cpus=1, whitelist={"PF10417"})
+    genes = annotator.run(make_genes())
+    assert sum(1 for g in genes if g.protein.domains) == 1
+    domain = next(g for g in genes if g.protein.domains).protein.domains[0]
+    assert domain.name == "PF10417"
+    assert domain.hmm == "Pfam"
+    assert domain.i_evalue < 1e-9
