@@ -58,6 +58,9 @@ def pad_batch(seqs, Lp):
 
 def main() -> None:
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from gecco_tpu.crf.decode import marginals_jax
@@ -72,10 +75,7 @@ def main() -> None:
     seqs = [x[:Lp] for x in seqs]
     total_cells = sum(len(x) for x in seqs) * int(bank.lengths.sum())
 
-    msv = _jit_msv(bank.P, bank.Mp, Lp)
-    fwd = _jit_forward(bank.P, bank.Mp, Lp)
-    bank_dev = tuple(jnp.asarray(a) for a in _bank_tuple(bank))
-
+    on_tpu = jax.devices()[0].platform == "tpu"
     batches = [
         pad_batch(seqs[i : i + BATCH], Lp) for i in range(0, len(seqs), BATCH)
     ]
@@ -83,17 +83,30 @@ def main() -> None:
         tuple(jnp.asarray(a) for a in b) for b in batches
     ]
 
-    # warmup / compile.  NB: through the remote-execution tunnel
-    # ``block_until_ready`` can return before the work is done; a host
-    # reduction is the only reliable synchronization, so every stage is
-    # timed through ``float(jnp.sum(...))``.
-    float(jnp.sum(msv(bank_dev, *batches_dev[0])))
+    # MSV filter stage: Pallas kernel on TPU (bank resident in VMEM),
+    # XLA batch engine elsewhere.  NB: through the remote-execution
+    # tunnel ``block_until_ready`` can return before the work is done; a
+    # host reduction is the only reliable synchronization, so every
+    # stage is timed through a host-side sum.
+    if on_tpu:
+        from gecco_tpu.hmm.kernels import MSVKernel
 
-    t0 = time.perf_counter()
-    acc = 0.0
-    for b in batches_dev:
-        acc += float(jnp.sum(msv(bank_dev, *b)))
-    t_msv = time.perf_counter() - t0
+        kern = MSVKernel(bank, seq_tile=8, profile_chunk=256)
+        float(kern(seqs[:BATCH], pad_to=Lp).sum())  # compile
+        t0 = time.perf_counter()
+        acc = 0.0
+        for i in range(0, len(seqs), BATCH):
+            acc += float(kern(seqs[i : i + BATCH], pad_to=Lp).sum())
+        t_msv = time.perf_counter() - t0
+    else:
+        msv = _jit_msv(bank.P, bank.Mp, Lp)
+        bank_dev = tuple(jnp.asarray(a) for a in _bank_tuple(bank))
+        float(jnp.sum(msv(bank_dev, *batches_dev[0])))
+        t0 = time.perf_counter()
+        acc = 0.0
+        for b in batches_dev:
+            acc += float(jnp.sum(msv(bank_dev, *b)))
+        t_msv = time.perf_counter() - t0
 
     # Forward stage on filter survivors: with a realistic pass rate of
     # ~2% of profiles per protein, rescore one 64-profile sub-bank per

@@ -1,0 +1,209 @@
+"""Pallas TPU kernels for the profile-HMM hot loops.
+
+The XLA-level batched engines (``gecco_tpu.hmm.batch``) are HBM-bound:
+every scan step re-reads the per-residue emission row and the state
+tensors from HBM.  The Pallas MSV kernel keeps a *profile chunk's*
+emission table and all DP state resident in VMEM and streams only the
+sequence indices in and the scores out, turning the filter stage
+compute-bound.
+
+Design (see ``pallas_guide.md``):
+
+* layout ``[Pc, Mp]`` — profile chunk on sublanes, model nodes on the
+  128-lane axis; node shift = ``pltpu.roll`` along lanes;
+* **log-space max-plus recurrence** — MSV is a Viterbi-style max DP, so
+  log space needs no rescaling and each cell costs ~4 VPU ops;
+* grid ``(seq_tiles, profile_chunks)``; per grid cell the kernel loops
+  over the S_TILE sequences and scans their residues, reading the
+  emission row by scalar index (``e_ref[xi]`` — a dynamic slice on the
+  leading axis, natively supported; TPUs have no per-lane gather).
+"""
+
+import functools
+import math
+from typing import Optional, Sequence, Tuple
+
+import numpy
+
+from .batch import ProfileBank, _round_up
+from .profile import length_model
+
+__all__ = ["msv_scores_pallas"]
+
+NEG = -1e30
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_msv(P: int, Mp: int, Lp: int, S: int, Pc: int, interpret: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_chunks = P // Pc
+
+    def kernel(xs_ref, lens_ref, loops_ref, moves_ref, e_ref, tbm_ref, out_ref):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (Pc, Mp), dimension=1)
+
+        def one_sequence(s, _):
+            L = lens_ref[0, 0, s]
+            loop = loops_ref[0, 0, s]
+            move = moves_ref[0, 0, s]
+            tbm = tbm_ref[:]  # [Pc, 1] log entry
+
+            def step(i, carry):
+                M, N, B, J, C = carry
+                xi = xs_ref[0, s, i]
+                e = e_ref[xi]  # [Pc, Mp]
+                shifted = pltpu.roll(M, shift=1, axis=1)
+                shifted = jnp.where(lane == 0, NEG, shifted)
+                Mn = e + jnp.maximum(shifted, B + tbm)
+                E = jnp.max(Mn, axis=1, keepdims=True)  # [Pc, 1]
+                Elm = E + math.log(0.5)
+                Jn = jnp.maximum(J + loop, Elm)
+                Cn = jnp.maximum(C + loop, Elm)
+                Nn = N + loop
+                Bn = jnp.maximum(Nn, Jn) + move
+                return (Mn, Nn, Bn, Jn, Cn)
+
+            M0 = jnp.full((Pc, Mp), NEG, jnp.float32)
+            z1 = jnp.zeros((Pc, 1), jnp.float32)
+            carry = (M0, z1, z1 + move, z1 + NEG, z1 + NEG)
+            carry = jax.lax.fori_loop(0, L, step, carry)
+            out_ref[s, :] = (carry[4] + move)[:, 0]
+            return 0
+
+        jax.lax.fori_loop(0, S, one_sequence, 0)
+
+    def run(xs, lens, loops, moves, e_log, tbm):
+        # xs [St, S, Lp] int32; e_log [21, P, Mp]; tbm [P, 1]
+        St = xs.shape[0]
+        # grid: profile chunk OUTER, sequence tile INNER — consecutive
+        # cells share the same emission block, so Mosaic keeps it in
+        # VMEM instead of re-streaming 5+ MB per cell
+        return pl.pallas_call(
+            kernel,
+            grid=(n_chunks, St),
+            in_specs=[
+                pl.BlockSpec((1, S, Lp), lambda c, t: (t, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, S), lambda c, t: (t, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, S), lambda c, t: (t, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, S), lambda c, t: (t, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((21, Pc, Mp), lambda c, t: (0, c, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((Pc, 1), lambda c, t: (c, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((S, Pc), lambda c, t: (t, c), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((St * S, P), jnp.float32),
+            interpret=interpret,
+        )(xs, lens, loops, moves, e_log, tbm)
+
+    return jax.jit(run)
+
+
+def msv_scores_pallas(
+    bank: ProfileBank,
+    sequences: Sequence["numpy.ndarray"],
+    seq_tile: int = 8,
+    profile_chunk: int = 256,
+    pad_to: Optional[int] = None,
+    interpret: bool = False,
+) -> "numpy.ndarray":
+    """MSV filter scores (nats) of every pair via the Pallas kernel.
+
+    Same contract as ``batch.msv_scores``; ``interpret=True`` runs the
+    kernel in the Pallas interpreter (for CPU tests).
+    """
+    import jax.numpy as jnp
+
+    S = len(sequences)
+    if S == 0:
+        return numpy.zeros((0, bank.P), dtype=numpy.float32)
+    Lp = pad_to or _round_up(max(len(x) for x in sequences), 32)
+    St = _round_up(S, seq_tile) // seq_tile
+    Pc = min(profile_chunk, _round_up(bank.P, 8))
+    P_pad = _round_up(bank.P, Pc)
+    xs = numpy.zeros((St * seq_tile, Lp), dtype=numpy.int32)
+    lens = numpy.zeros(St * seq_tile, dtype=numpy.int32)
+    loops = numpy.zeros(St * seq_tile, dtype=numpy.float32)
+    moves = numpy.full(St * seq_tile, -1.0, dtype=numpy.float32)
+    for i, x in enumerate(sequences):
+        L = len(x)
+        xs[i, :L] = x
+        lens[i] = L
+        loop, move = length_model(L)
+        loops[i] = loop
+        moves[i] = move
+
+    # log-space emissions: [21, P_pad, Mp]; padded nodes/profiles at -inf
+    with numpy.errstate(divide="ignore"):
+        e_log = numpy.full((_K := 21, P_pad, bank.Mp), NEG, dtype=numpy.float32)
+        e_log[:, : bank.P] = numpy.where(
+            bank.e_odds > 0, numpy.log(numpy.maximum(bank.e_odds, 1e-300)), NEG
+        )
+        tbm = numpy.full((P_pad, 1), NEG, dtype=numpy.float32)
+        tbm[: bank.P, 0] = numpy.log(bank.msv_tbm)
+
+    fn = _pallas_msv(P_pad, bank.Mp, Lp, seq_tile, Pc, interpret)
+    out = fn(
+        jnp.asarray(xs.reshape(St, seq_tile, Lp)),
+        jnp.asarray(lens.reshape(St, 1, seq_tile)),
+        jnp.asarray(loops.reshape(St, 1, seq_tile)),
+        jnp.asarray(moves.reshape(St, 1, seq_tile)),
+        jnp.asarray(e_log), jnp.asarray(tbm),
+    )
+    return numpy.asarray(out)[:S, : bank.P]
+
+
+class MSVKernel:
+    """Device-cached Pallas MSV filter over a fixed bank.
+
+    Prepares the log-space emission tensors once (host + device) so
+    repeated batches pay only the scan cost.
+    """
+
+    def __init__(self, bank: ProfileBank, seq_tile: int = 8, profile_chunk: int = 256):
+        import jax.numpy as jnp
+
+        self.bank = bank
+        self.seq_tile = seq_tile
+        self.Pc = min(profile_chunk, _round_up(bank.P, 8))
+        self.P_pad = _round_up(bank.P, self.Pc)
+        with numpy.errstate(divide="ignore"):
+            e_log = numpy.full((21, self.P_pad, bank.Mp), NEG, dtype=numpy.float32)
+            e_log[:, : bank.P] = numpy.where(
+                bank.e_odds > 0, numpy.log(numpy.maximum(bank.e_odds, 1e-300)), NEG
+            )
+            tbm = numpy.full((self.P_pad, 1), NEG, dtype=numpy.float32)
+            tbm[: bank.P, 0] = numpy.log(bank.msv_tbm)
+        self.e_log = jnp.asarray(e_log)
+        self.tbm = jnp.asarray(tbm)
+
+    def __call__(self, sequences, pad_to=None, interpret=False):
+        import jax.numpy as jnp
+
+        S = len(sequences)
+        if S == 0:
+            return numpy.zeros((0, self.bank.P), dtype=numpy.float32)
+        Lp = pad_to or _round_up(max(len(x) for x in sequences), 32)
+        St = _round_up(S, self.seq_tile) // self.seq_tile
+        n = St * self.seq_tile
+        xs = numpy.zeros((n, Lp), dtype=numpy.int32)
+        lens = numpy.zeros(n, dtype=numpy.int32)
+        loops = numpy.zeros(n, dtype=numpy.float32)
+        moves = numpy.full(n, -1.0, dtype=numpy.float32)
+        for i, x in enumerate(sequences):
+            L = len(x)
+            xs[i, :L] = x
+            lens[i] = L
+            loop, move = length_model(L)
+            loops[i] = loop
+            moves[i] = move
+        fn = _pallas_msv(self.P_pad, self.bank.Mp, Lp, self.seq_tile, self.Pc, interpret)
+        out = fn(
+            jnp.asarray(xs.reshape(St, self.seq_tile, Lp)),
+            jnp.asarray(lens.reshape(St, 1, self.seq_tile)),
+            jnp.asarray(loops.reshape(St, 1, self.seq_tile)),
+            jnp.asarray(moves.reshape(St, 1, self.seq_tile)),
+            self.e_log, self.tbm,
+        )
+        return numpy.asarray(out)[:S, : self.bank.P]
