@@ -198,6 +198,12 @@ def _parse_genbank_record(lines: List[str]) -> Optional[SeqRecord]:
             record.id = record.annotations["version"]  # type: ignore[assignment]
         elif keyword == "ORGANISM":
             record.annotations["organism"] = value
+        elif keyword == "COMMENT":
+            comment_lines = [value]
+            while i + 1 < n and lines[i + 1].startswith(" " * 12):
+                i += 1
+                comment_lines.append(lines[i][12:].rstrip())
+            _parse_comment(record, comment_lines)
         i += 1
     # -- features
     if i < n and lines[i].startswith("FEATURES"):
@@ -228,6 +234,31 @@ def _parse_genbank_record(lines: List[str]) -> Optional[SeqRecord]:
     if not record.id:
         return None
     return record
+
+
+def _parse_comment(record: SeqRecord, lines: List[str]) -> None:
+    """Parse a COMMENT block, extracting ``##Name-START##`` structured parts."""
+    plain: List[str] = []
+    structured = None
+    block_name = None
+    for line in lines:
+        match = re.match(r"^##(.+)-START##$", line.strip())
+        if match:
+            block_name = match.group(1)
+            structured = record.annotations.setdefault("structured_comment", {})
+            structured[block_name] = {}
+            continue
+        if block_name is not None:
+            if re.match(rf"^##{re.escape(block_name)}-END##$", line.strip()):
+                block_name = None
+                continue
+            key, sep, value = line.partition("::")
+            if sep:
+                structured[block_name][key.strip()] = value.strip()
+            continue
+        plain.append(line)
+    if plain:
+        record.annotations["comment"] = "\n".join(plain).strip()
 
 
 def _build_feature(key: str, body: List[str]) -> Optional[SeqFeature]:
