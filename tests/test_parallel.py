@@ -1,0 +1,107 @@
+"""Multi-device sharding tests (8 virtual CPU devices, see conftest).
+
+The reference has no distributed tests at all (``SURVEY.md`` §4); these
+validate the TPU build's scale-out layer: mesh construction, bank/model
+sharding of the annotate stage, the data-parallel CRF train step, and
+the deterministic shard-invariant cluster merge.
+"""
+
+import numpy
+import pytest
+
+import jax
+
+from gecco_tpu.hmm import batch, engine
+from gecco_tpu.hmm.synthetic import synthetic_profiles, synthetic_proteins
+from gecco_tpu.model import Cluster, Gene, Protein, Strand
+from gecco_tpu.parallel import (
+    crf_train_step,
+    make_mesh,
+    merge_clusters,
+    shard_sequences,
+    sharded_forward_scores,
+)
+from gecco_tpu.seq import Seq, SeqRecord
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(8, model_axis=2)
+    assert mesh.devices.shape == (4, 2)
+    assert mesh.axis_names == ("data", "model")
+    mesh = make_mesh(8, model_axis=1)
+    assert mesh.devices.shape == (8, 1)
+
+
+def test_shard_sequences_balanced():
+    sequences = [numpy.zeros(n) for n in (500, 300, 300, 100, 100, 100)]
+    shards = shard_sequences(sequences, 2)
+    loads = [sum(len(sequences[i]) for i in shard) for shard in shards]
+    assert abs(loads[0] - loads[1]) <= 100
+    assert sorted(i for s in shards for i in s) == list(range(6))
+
+
+def test_sharded_forward_matches_single_device():
+    profiles = synthetic_profiles(8, min_length=24, max_length=48, seed=0)
+    bank = batch.ProfileBank.build(profiles, lane=128)
+    seqs = synthetic_proteins(8, mean_length=60, seed=1)
+    import math
+
+    from gecco_tpu.hmm.profile import length_model
+
+    Lp = 128
+    xs = numpy.zeros((8, Lp), dtype=numpy.int32)
+    masks = numpy.zeros((8, Lp), dtype=bool)
+    loops = numpy.zeros(8, dtype=numpy.float32)
+    moves = numpy.zeros(8, dtype=numpy.float32)
+    for i, x in enumerate(seqs):
+        L = min(len(x), Lp)
+        xs[i, :L] = x[:L]
+        masks[i, :L] = True
+        loop, move = length_model(L)
+        loops[i] = math.exp(loop)
+        moves[i] = math.exp(move)
+
+    mesh = make_mesh(8, model_axis=2)
+    sharded = sharded_forward_scores(bank, xs, masks, loops, moves, mesh)
+    # compare against the unsharded engine
+    plain = batch.forward_scores(bank, [x[:Lp] for x in seqs], pad_to=Lp)
+    assert sharded.shape == plain.shape
+    assert numpy.abs(sharded - plain).max() < 1e-3
+
+
+def test_crf_train_step_runs_sharded():
+    import jax.numpy as jnp
+
+    mesh = make_mesh(8, model_axis=1)
+    make = crf_train_step(mesh)
+    step, params = make(A=12)
+    rng = numpy.random.default_rng(0)
+    idx = rng.integers(0, 13, size=(16, 10, 3)).astype(numpy.int32)
+    y = rng.integers(0, 2, size=(16, 10)).astype(numpy.int32)
+    losses = []
+    for _ in range(10):
+        params, loss = step(params, jnp.asarray(idx), jnp.asarray(y), 0.05)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert numpy.isfinite(losses).all()
+
+
+def _cluster(seq_id, cid, start, end):
+    source = SeqRecord(id=seq_id, seq=Seq(""))
+    gene = Gene(source, start, end, Strand.Coding, Protein(f"{seq_id}_{start}", Seq("M")))
+    return Cluster(cid, [gene])
+
+
+def test_merge_clusters_shard_invariant():
+    shard_a = [_cluster("s1", "s1_cluster_1", 100, 200)]
+    shard_b = [_cluster("s1", "s1_cluster_1", 500, 600), _cluster("s2", "s2_cluster_1", 10, 20)]
+    merged_1 = merge_clusters([shard_a, shard_b])
+    merged_2 = merge_clusters([shard_b, shard_a])
+    ids_1 = [(c.id, c.start) for c in merged_1]
+    ids_2 = [(c.id, c.start) for c in merged_2]
+    assert ids_1 == ids_2
+    assert ids_1 == [("s1_cluster_1", 100), ("s1_cluster_2", 500), ("s2_cluster_1", 10)]
