@@ -84,7 +84,7 @@ def test_crf_train_step_runs_sharded():
     y = rng.integers(0, 2, size=(16, 10)).astype(numpy.int32)
     losses = []
     for _ in range(10):
-        params, loss = step(params, jnp.asarray(idx), jnp.asarray(y), 0.05)
+        params, loss = step(params, jnp.asarray(idx), jnp.asarray(y), 0.01)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
     assert numpy.isfinite(losses).all()
