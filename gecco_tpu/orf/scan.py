@@ -64,12 +64,29 @@ class _Candidate:
         self.partial_end = partial_end
 
 
+MAX_STARTS = 8
+
+
 def _find_orfs(codes: "numpy.ndarray", strand: int, length: int) -> List[_Candidate]:
     """Enumerate candidate genes on one strand of an encoded sequence.
 
     ``codes`` must already be the strand's 5'→3' encoding; coordinates
     are returned relative to that orientation and mapped by the caller.
+    Uses the native core (``native/orfscan.cpp``) when built; the pure
+    Python path below is the reference fallback (tested equal).
     """
+    from ._native import native_candidates
+
+    native = native_candidates(codes, MIN_GENE, MAX_STARTS)
+    if native is not None:
+        starts, ends, flags = native
+        return [
+            _Candidate(
+                int(s), int(e), strand,
+                partial_begin=bool(f & 2), partial_end=bool(f & 4),
+            )
+            for s, e, f in zip(starts, ends, flags)
+        ]
     n = len(codes)
     stop_set = {tuple(_BASE[c] for c in s) for s in _STOPS}
     start_set = {tuple(_BASE[c] for c in s) for s in _STARTS}
@@ -96,10 +113,10 @@ def _find_orfs(codes: "numpy.ndarray", strand: int, length: int) -> List[_Candid
             ]
             gene_end = region[1] + (3 if is_real_stop else 0)
             partial_end = not is_real_stop
-            if region[0] == frame and frame < 3:
+            if region[0] == frame:
                 # region touches the contig begin: allow a partial gene
                 starts = [region[0]] + [s for s in starts if s != region[0]]
-            for s in starts[:8]:  # cap alternative starts per stop
+            for s in starts[:MAX_STARTS]:  # cap alternative starts per stop
                 if gene_end - s < MIN_GENE:
                     continue
                 partial_begin = (s == region[0]) and (
@@ -160,20 +177,39 @@ class ScanFinder(ORFFinder):
         log_odds = numpy.log(coding / coding.sum()) - numpy.log(background / background.sum())
         return numpy.clip(log_odds, -4.0, 4.0)
 
-    def _score(self, codes, candidate: _Candidate, log_odds) -> float:
-        begin, end = candidate.start, candidate.end - 3
+    def _score_batch(self, codes, candidates: List[_Candidate], log_odds) -> "numpy.ndarray":
+        """Coding score + length prior for every candidate (native or numpy)."""
+        from ._native import native_scores
+
+        if not candidates:
+            return numpy.zeros(0)
+        starts = numpy.array([c.start for c in candidates], dtype=numpy.int32)
+        ends = numpy.array([c.end - 3 for c in candidates], dtype=numpy.int32)
+        coding = native_scores(codes, log_odds, starts, ends)
+        if coding is None:
+            coding = numpy.array([
+                self._score_coding(codes, int(b), int(e), log_odds)
+                for b, e in zip(starts, ends)
+            ])
+        lengths = numpy.maximum(ends + 3 - starts, 1)
+        return coding + 0.5 * numpy.log(lengths / 90.0)
+
+    @staticmethod
+    def _score_coding(codes, begin: int, end: int, log_odds) -> float:
         seg = codes[begin:end]
         if len(seg) < 6:
-            return -10.0
+            return 0.0
         h = (
             seg[:-5] * 1024 + seg[1:-4] * 256 + seg[2:-3] * 64
             + seg[3:-2] * 16 + seg[4:-1] * 4 + seg[5:]
         )
-        h_inframe = h[::3]
-        valid = numpy.all(seg[: len(seg) - 5].reshape(-1)[:1] >= -1) if False else True
-        coding = float(log_odds[numpy.clip(h_inframe, 0, 4095)].sum())
-        length_prior = 0.5 * math.log(max(candidate.end - candidate.start, 1) / 90.0)
-        return coding + length_prior
+        valid = seg >= 0
+        ok = (
+            valid[:-5] & valid[1:-4] & valid[2:-3]
+            & valid[3:-2] & valid[4:-1] & valid[5:]
+        )
+        h_inframe = h[::3][ok[::3]]
+        return float(log_odds[h_inframe].sum())
 
     def _start_bonus(self, seq5: str, codes, candidate: _Candidate) -> float:
         if candidate.partial_begin:
@@ -248,17 +284,13 @@ class ScanFinder(ORFFinder):
         log_odds = self._train(codes_f, codes_r, cands_f, cands_r)
 
         merged: List[_Candidate] = []
-        for candidate in cands_f:
-            candidate.score = (
-                self._score(codes_f, candidate, log_odds)
-                + self._start_bonus(seq, codes_f, candidate)
-            )
+        scores_f = self._score_batch(codes_f, cands_f, log_odds)
+        for candidate, coding in zip(cands_f, scores_f):
+            candidate.score = float(coding) + self._start_bonus(seq, codes_f, candidate)
             merged.append(candidate)
-        for candidate in cands_r:
-            candidate.score = (
-                self._score(codes_r, candidate, log_odds)
-                + self._start_bonus(rev, codes_r, candidate)
-            )
+        scores_r = self._score_batch(codes_r, cands_r, log_odds)
+        for candidate, coding in zip(cands_r, scores_r):
+            candidate.score = float(coding) + self._start_bonus(rev, codes_r, candidate)
             # map to forward coordinates
             start, end = candidate.start, candidate.end
             candidate.start, candidate.end = n - end, n - start

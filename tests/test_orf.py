@@ -91,3 +91,42 @@ def test_scan_finder_coordinate_translation_consistency():
 
             sub = reverse_complement(sub)
         assert translate(sub, table=11).rstrip("*") == str(gene.protein.seq)
+
+
+def test_native_matches_python_enumeration():
+    """The C++ ORF core and the Python fallback produce identical candidates."""
+    from gecco_tpu.orf import _native
+    from gecco_tpu.orf import scan as scan_mod
+
+    if _native.load() is None:
+        pytest.skip("native library not built and no toolchain available")
+    records = list(seqio.parse(FNA_1737))
+    codes = scan_mod._encode(str(records[0].seq).upper())
+    starts, ends, flags = _native.native_candidates(codes, scan_mod.MIN_GENE, scan_mod.MAX_STARTS)
+    native_set = {
+        (int(s), int(e), bool(f & 2), bool(f & 4))
+        for s, e, f in zip(starts, ends, flags)
+    }
+    backup = _native.native_candidates
+    _native.native_candidates = lambda *a, **k: None
+    try:
+        python_set = {
+            (c.start, c.end, c.partial_begin, c.partial_end)
+            for c in scan_mod._find_orfs(codes, 1, len(codes))
+        }
+    finally:
+        _native.native_candidates = backup
+    assert native_set == python_set
+
+    # scoring agreement
+    import numpy as np
+
+    log_odds = np.linspace(-1, 1, 4096)
+    s32 = np.fromiter((s for s, e, *_ in sorted(native_set)), dtype=np.int32)
+    e32 = np.fromiter((e - 3 for s, e, *_ in sorted(native_set)), dtype=np.int32)
+    native_scores = _native.native_scores(codes, log_odds, s32, e32)
+    python_scores = np.array([
+        scan_mod.ScanFinder._score_coding(codes, int(b), int(e), log_odds)
+        for b, e in zip(s32, e32)
+    ])
+    assert np.allclose(native_scores, python_scores)
