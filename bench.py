@@ -112,14 +112,25 @@ def main() -> None:
     # ~2% of profiles per protein, rescore one 64-profile sub-bank per
     # protein batch (shapes representative of production).
     sub = bank.select(list(range(64)))
-    sub_dev = tuple(jnp.asarray(a) for a in _bank_tuple(sub))
-    fwd_fn = _jit_forward(sub.P, sub.Mp, Lp)
-    float(jnp.sum(fwd_fn(sub_dev, *batches_dev[0])))
-    t0 = time.perf_counter()
-    acc = 0.0
-    for b in batches_dev:
-        acc += float(jnp.sum(fwd_fn(sub_dev, *b)))
-    t_fwd = time.perf_counter() - t0
+    if on_tpu:
+        from gecco_tpu.hmm.kernels import ForwardKernel
+
+        fkern = ForwardKernel(sub, seq_tile=8, profile_chunk=64)
+        float(fkern(seqs[:BATCH], pad_to=Lp).sum())  # compile
+        t0 = time.perf_counter()
+        acc = 0.0
+        for i in range(0, len(seqs), BATCH):
+            acc += float(fkern(seqs[i : i + BATCH], pad_to=Lp).sum())
+        t_fwd = time.perf_counter() - t0
+    else:
+        sub_dev = tuple(jnp.asarray(a) for a in _bank_tuple(sub))
+        fwd_fn = _jit_forward(sub.P, sub.Mp, Lp)
+        float(jnp.sum(fwd_fn(sub_dev, *batches_dev[0])))
+        t0 = time.perf_counter()
+        acc = 0.0
+        for b in batches_dev:
+            acc += float(jnp.sum(fwd_fn(sub_dev, *b)))
+        t_fwd = time.perf_counter() - t0
 
     # ---- CRF decode of one genome-sized gene chain
     rng = numpy.random.default_rng(0)

@@ -28,7 +28,7 @@ import numpy
 from .batch import ProfileBank, _round_up
 from .profile import length_model
 
-__all__ = ["msv_scores_pallas"]
+__all__ = ["msv_scores_pallas", "MSVKernel", "ForwardKernel"]
 
 NEG = -1e30
 
@@ -205,5 +205,175 @@ class MSVKernel:
             jnp.asarray(loops.reshape(St, 1, self.seq_tile)),
             jnp.asarray(moves.reshape(St, 1, self.seq_tile)),
             self.e_log, self.tbm,
+        )
+        return numpy.asarray(out)[:S, : self.bank.P]
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _pallas_fwd(P: int, Mp: int, Lp: int, S: int, Pc: int, interpret: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_chunks = P // Pc
+    n_doubling = int(math.log2(Mp))
+    assert 1 << n_doubling == Mp, "Mp must be a power of two"
+
+    def kernel(xs_ref, lens_ref, loops_ref, moves_ref,
+               e_ref, tmm_ref, tim_ref, tdm_ref, tmi_ref, tii_ref,
+               tmd_ref, tdd_ref, bm_ref, out_ref):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (Pc, Mp), dimension=1)
+        first_lane = lane == 0
+
+        def shift1(a):
+            rolled = pltpu.roll(a, shift=1, axis=1)
+            return jnp.where(first_lane, 0.0, rolled)
+
+        tmm = tmm_ref[...]
+        tim = tim_ref[...]
+        tdm = tdm_ref[...]
+        tmi = tmi_ref[...]
+        tii = tii_ref[...]
+        tmd = tmd_ref[...]
+        tdd = tdd_ref[...]
+        bm = bm_ref[...]
+        tdd_shifted = shift1(tdd)  # a_k = tdd[k-1]
+
+        def dchain(m_new):
+            # D_k = tdd[k-1] * D_{k-1} + m_new[k-1] * tmd[k-1]
+            a = tdd_shifted
+            b = shift1(m_new * tmd)
+            shift = 1
+            for _ in range(n_doubling):
+                rolled_a = pltpu.roll(a, shift=shift, axis=1)
+                rolled_b = pltpu.roll(b, shift=shift, axis=1)
+                mask = lane >= shift
+                prev_a = jnp.where(mask, rolled_a, 1.0)
+                prev_b = jnp.where(mask, rolled_b, 0.0)
+                b = prev_b * a + b
+                a = prev_a * a
+                shift *= 2
+            return b
+
+        def one_sequence(s, _):
+            L = lens_ref[0, 0, s]
+            loop = loops_ref[0, 0, s]
+            move = moves_ref[0, 0, s]
+
+            def step(i, carry):
+                M, I, D, N, B, J, C, logscale = carry
+                xi = xs_ref[0, s, i]
+                e = e_ref[xi]  # [Pc, Mp] odds
+                stay = shift1(M * tmm + I * tim + D * tdm)
+                Mn = e * (stay + B * bm)
+                In = M * tmi + I * tii
+                Dn = dchain(Mn)
+                E = jnp.sum(Mn + Dn, axis=1, keepdims=True)  # [Pc, 1]
+                Jn = J * loop + E * 0.5
+                Cn = C * loop + E * 0.5
+                Nn = N * loop
+                Bn = (Nn + Jn) * move
+                total = E + Bn + Nn + Cn + 1e-30
+                inv = 1.0 / total
+                return (Mn * inv, In * inv, Dn * inv,
+                        Nn * inv, Bn * inv, Jn * inv, Cn * inv,
+                        logscale + jnp.log(total))
+
+            zeros = jnp.zeros((Pc, Mp), jnp.float32)
+            z1 = jnp.zeros((Pc, 1), jnp.float32)
+            carry = (zeros, zeros, zeros, z1 + 1.0, z1 + move, z1, z1, z1)
+            carry = jax.lax.fori_loop(0, L, step, carry)
+            C_final, logscale = carry[6], carry[7]
+            out_ref[s, :] = (jnp.log(C_final * move + 1e-38) + logscale)[:, 0]
+            return 0
+
+        jax.lax.fori_loop(0, S, one_sequence, 0)
+
+    def run(xs, lens, loops, moves, e_odds, *trans_arrays):
+        St = xs.shape[0]
+        trans_specs = [
+            pl.BlockSpec((Pc, Mp), lambda c, t: (c, 0), memory_space=pltpu.VMEM)
+            for _ in range(8)
+        ]
+        return pl.pallas_call(
+            kernel,
+            grid=(n_chunks, St),
+            in_specs=[
+                pl.BlockSpec((1, S, Lp), lambda c, t: (t, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, S), lambda c, t: (t, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, S), lambda c, t: (t, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, S), lambda c, t: (t, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((21, Pc, Mp), lambda c, t: (0, c, 0), memory_space=pltpu.VMEM),
+                *trans_specs,
+            ],
+            out_specs=pl.BlockSpec((S, Pc), lambda c, t: (t, c), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((St * S, P), jnp.float32),
+            interpret=interpret,
+        )(xs, lens, loops, moves, e_odds, *trans_arrays)
+
+    return jax.jit(run)
+
+
+class ForwardKernel:
+    """Device-cached Pallas Forward scorer over a fixed bank.
+
+    Probability-space sparse-rescaling Forward (HMMER's f32 trick); the
+    delete chain is an exact in-kernel parallel prefix over the lane
+    axis (log2(Mp) doubling steps of ``pltpu.roll``).
+    """
+
+    def __init__(self, bank: ProfileBank, seq_tile: int = 8, profile_chunk: int = 128):
+        import jax.numpy as jnp
+
+        self.bank = bank
+        self.seq_tile = seq_tile
+        self.Pc = min(profile_chunk, _round_up(bank.P, 8))
+        self.P_pad = _round_up(bank.P, self.Pc)
+
+        def pad_rows(a):
+            out = numpy.zeros((self.P_pad, bank.Mp), dtype=numpy.float32)
+            out[: bank.P] = a
+            return jnp.asarray(out)
+
+        e = numpy.zeros((21, self.P_pad, bank.Mp), dtype=numpy.float32)
+        e[:, : bank.P] = bank.e_odds
+        self.e_odds = jnp.asarray(e)
+        self.trans = tuple(pad_rows(a) for a in (
+            bank.tmm, bank.tim, bank.tdm, bank.tmi, bank.tii,
+            bank.tmd, bank.tdd, bank.bm,
+        ))
+
+    def __call__(self, sequences, pad_to=None, interpret=False):
+        import jax.numpy as jnp
+
+        S = len(sequences)
+        if S == 0:
+            return numpy.zeros((0, self.bank.P), dtype=numpy.float32)
+        Lp = pad_to or _round_up(max(len(x) for x in sequences), 32)
+        St = _round_up(S, self.seq_tile) // self.seq_tile
+        n = St * self.seq_tile
+        xs = numpy.zeros((n, Lp), dtype=numpy.int32)
+        lens = numpy.zeros(n, dtype=numpy.int32)
+        loops = numpy.zeros(n, dtype=numpy.float32)
+        moves = numpy.full(n, 0.5, dtype=numpy.float32)
+        for i, x in enumerate(sequences):
+            L = len(x)
+            xs[i, :L] = x
+            lens[i] = L
+            loop, move = length_model(L)
+            loops[i] = math.exp(loop)
+            moves[i] = math.exp(move)
+        fn = _pallas_fwd(self.P_pad, self.bank.Mp, Lp, self.seq_tile, self.Pc, interpret)
+        out = fn(
+            jnp.asarray(xs.reshape(St, self.seq_tile, Lp)),
+            jnp.asarray(lens.reshape(St, 1, self.seq_tile)),
+            jnp.asarray(loops.reshape(St, 1, self.seq_tile)),
+            jnp.asarray(moves.reshape(St, 1, self.seq_tile)),
+            self.e_odds, *self.trans,
         )
         return numpy.asarray(out)[:S, : self.bank.P]

@@ -193,6 +193,30 @@ def test_batch_msv_matches_engine(profiles, sequences):
             assert scores[s, p] == pytest.approx(reference, abs=5e-3), (s, p)
 
 
+def test_pallas_msv_matches_batch(profiles, sequences):
+    from gecco_tpu.hmm.kernels import MSVKernel
+
+    bank = batch.ProfileBank.build(profiles)
+    xs = [x for _, x in sequences]
+    reference = numpy.asarray(batch.msv_scores(bank, xs))
+    kern = MSVKernel(bank, seq_tile=4, profile_chunk=8)
+    scores = kern(xs, interpret=True)
+    assert scores.shape == reference.shape
+    numpy.testing.assert_allclose(scores, reference, atol=5e-3)
+
+
+def test_pallas_forward_matches_batch(profiles, sequences):
+    from gecco_tpu.hmm.kernels import ForwardKernel
+
+    bank = batch.ProfileBank.build(profiles)
+    xs = [x for _, x in sequences]
+    reference = numpy.asarray(batch.forward_scores(bank, xs))
+    kern = ForwardKernel(bank, seq_tile=4, profile_chunk=8)
+    scores = kern(xs, interpret=True)
+    assert scores.shape == reference.shape
+    numpy.testing.assert_allclose(scores, reference, atol=5e-3)
+
+
 def test_pipeline_reports_expected_hits(profiles, sequences):
     pipeline = SearchPipeline(profiles, Z=10, domZ=10)
     hits = pipeline.search([x for _, x in sequences])
