@@ -33,6 +33,15 @@ __all__ = ["msv_scores_pallas", "MSVKernel", "ForwardKernel"]
 NEG = -1e30
 
 
+def _auto_interpret(interpret: bool) -> bool:
+    """Fall back to the Pallas interpreter off-TPU (tests, CPU hosts)."""
+    if interpret:
+        return True
+    import jax
+
+    return jax.default_backend() != "tpu"
+
+
 @functools.lru_cache(maxsize=None)
 def _pallas_msv(P: int, Mp: int, Lp: int, S: int, Pc: int, interpret: bool):
     import jax
@@ -198,7 +207,10 @@ class MSVKernel:
             loop, move = length_model(L)
             loops[i] = loop
             moves[i] = move
-        fn = _pallas_msv(self.P_pad, self.bank.Mp, Lp, self.seq_tile, self.Pc, interpret)
+        fn = _pallas_msv(
+            self.P_pad, self.bank.Mp, Lp, self.seq_tile, self.Pc,
+            _auto_interpret(interpret),
+        )
         out = fn(
             jnp.asarray(xs.reshape(St, self.seq_tile, Lp)),
             jnp.asarray(lens.reshape(St, 1, self.seq_tile)),
@@ -368,7 +380,10 @@ class ForwardKernel:
             loop, move = length_model(L)
             loops[i] = math.exp(loop)
             moves[i] = math.exp(move)
-        fn = _pallas_fwd(self.P_pad, self.bank.Mp, Lp, self.seq_tile, self.Pc, interpret)
+        fn = _pallas_fwd(
+            self.P_pad, self.bank.Mp, Lp, self.seq_tile, self.Pc,
+            _auto_interpret(interpret),
+        )
         out = fn(
             jnp.asarray(xs.reshape(St, self.seq_tile, Lp)),
             jnp.asarray(lens.reshape(St, 1, self.seq_tile)),

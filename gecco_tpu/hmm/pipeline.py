@@ -16,6 +16,11 @@ re-architected for the accelerator:
 Reporting follows hmmsearch defaults: sequence E ≤ 10 and domain
 i-Evalue ≤ 10 with caller-fixed ``Z``/``domZ`` (GECCO pins both to the
 HMM library size, 2766), or the profile's GA/NC/TC bit cutoffs.
+
+Device stages run on one of two engines (``backend=``): the Pallas
+kernels (``gecco_tpu.hmm.kernels``, VMEM-resident bank — default on
+TPU) or the XLA batch engines (``gecco_tpu.hmm.batch`` — default
+elsewhere).
 """
 
 import math
@@ -61,6 +66,7 @@ class SearchPipeline:
         bit_cutoffs: Optional[str] = None,
         use_accelerator: bool = True,
         max_filter: bool = False,
+        backend: str = "auto",
     ) -> None:
         self.profiles = list(profiles)
         self.Z = Z
@@ -74,7 +80,23 @@ class SearchPipeline:
         self.bit_cutoffs = bit_cutoffs
         self.use_accelerator = use_accelerator
         self.max_filter = max_filter  # True = skip filters (hmmsearch --max)
+        if backend not in ("auto", "pallas", "xla"):
+            raise ValueError(f"invalid backend: {backend!r}")
+        self.backend = backend
         self._bank = ProfileBank.build(self.profiles) if self.profiles else None
+        self._msv_kernel = None
+
+    def _resolve_backend(self) -> str:
+        """Pick the device engine: Pallas kernels on TPU, XLA elsewhere."""
+        if self.backend != "auto":
+            return self.backend
+        try:
+            import jax
+
+            platform = jax.default_backend()
+        except Exception:  # pragma: no cover - jax always present
+            platform = "cpu"
+        return "pallas" if platform == "tpu" else "xla"
 
     # -- helpers -----------------------------------------------------------
 
@@ -101,6 +123,7 @@ class SearchPipeline:
         nullsc = numpy.array([null1_score(int(L)) for L in lengths])
 
         # ---- stage 1+2 (device): MSV filter then Forward on survivors
+        backend = self._resolve_backend() if self.use_accelerator else "xla"
         pair_scores: Dict[Tuple[int, int], float] = {}
         order = numpy.argsort(lengths, kind="stable")
         bucket: List[int] = []
@@ -112,7 +135,14 @@ class SearchPipeline:
             if self.max_filter or not self.use_accelerator:
                 surviving = {i: list(range(len(self.profiles))) for i in bucket}
             else:
-                msv = msv_scores(self._bank, seqs)  # [S, P] nats
+                if backend == "pallas":
+                    if self._msv_kernel is None:
+                        from .kernels import MSVKernel
+
+                        self._msv_kernel = MSVKernel(self._bank)
+                    msv = self._msv_kernel(seqs, pad_to=current_cap)
+                else:
+                    msv = msv_scores(self._bank, seqs)  # [S, P] nats
                 bits = (msv - nullsc[bucket][:, None]) / LOG2
                 lam = self._bank.msv_lambda[None, :]
                 mu = self._bank.msv_mu[None, :]
@@ -129,7 +159,15 @@ class SearchPipeline:
             if self.use_accelerator:
                 sub = self._bank.select(profile_union)
                 keep_seqs = [i for i in bucket if surviving[i]]
-                fwd = forward_scores(sub, [sequences[i] for i in keep_seqs])
+                if backend == "pallas":
+                    from .kernels import ForwardKernel
+
+                    fkern = ForwardKernel(sub)
+                    fwd = fkern(
+                        [sequences[i] for i in keep_seqs], pad_to=current_cap
+                    )
+                else:
+                    fwd = forward_scores(sub, [sequences[i] for i in keep_seqs])
                 for s, i in enumerate(keep_seqs):
                     for c, p in enumerate(profile_union):
                         if p in surviving[i]:

@@ -229,6 +229,20 @@ def test_pipeline_reports_expected_hits(profiles, sequences):
             assert dom.i_evalue == pytest.approx(dom.pvalue * 10)
 
 
+def test_pipeline_pallas_backend_matches_xla(profiles, sequences):
+    """The production pipeline over the Pallas kernels (interpreted on
+    CPU) reports the same hits/scores as the XLA batch engines."""
+    xs = [x for _, x in sequences]
+    ref = SearchPipeline(profiles, Z=10, domZ=10, backend="xla").search(xs)
+    out = SearchPipeline(profiles, Z=10, domZ=10, backend="pallas").search(xs)
+    assert [(h.sequence_index, h.profile.name) for h in out] == [
+        (h.sequence_index, h.profile.name) for h in ref
+    ]
+    for a, b in zip(out, ref):
+        assert a.score == pytest.approx(b.score, abs=1e-6)
+        assert len(a.domains) == len(b.domains)
+
+
 def test_annotator_contract(sequences):
     """The reference test contract: 3 genes annotated; whitelist → 1."""
     records = list(seqio.parse(PROTEINS))
