@@ -89,9 +89,9 @@ def main() -> None:
     # host reduction is the only reliable synchronization, so every
     # stage is timed through a host-side sum.
     if on_tpu:
-        from gecco_tpu.hmm.kernels import MSVKernel
+        from gecco_tpu.hmm.kernels import Bucketed, MSVKernel
 
-        kern = MSVKernel(bank, seq_tile=8, profile_chunk=256)
+        kern = Bucketed(MSVKernel, bank, seq_tile=8, profile_chunk=256)
         float(kern(seqs[:BATCH], pad_to=Lp).sum())  # compile
         t0 = time.perf_counter()
         acc = 0.0
@@ -113,9 +113,9 @@ def main() -> None:
     # protein batch (shapes representative of production).
     sub = bank.select(list(range(64)))
     if on_tpu:
-        from gecco_tpu.hmm.kernels import ForwardKernel
+        from gecco_tpu.hmm.kernels import Bucketed, ForwardKernel
 
-        fkern = ForwardKernel(sub, seq_tile=8, profile_chunk=64)
+        fkern = Bucketed(ForwardKernel, sub, seq_tile=8, profile_chunk=64)
         float(fkern(seqs[:BATCH], pad_to=Lp).sum())  # compile
         t0 = time.perf_counter()
         acc = 0.0

@@ -83,3 +83,26 @@ def zopen(path: Union[str, "os.PathLike[str]", BinaryIO]) -> Iterator[BinaryIO]:
                 raise RuntimeError("File compression is LZ4 but python-lz4 is not installed")
             file = ctx.enter_context(_lz4frame.open(file))  # type: ignore[assignment]
         yield file
+
+
+def enable_jax_compilation_cache(directory: Union[str, None] = None) -> None:
+    """Point JAX at a persistent compilation cache directory.
+
+    First-compile latency of the Pallas/XLA kernels is tens of seconds
+    per bucket shape on TPU; the cache makes every later process reuse
+    them.  Safe to call repeatedly; a no-op if the config was already
+    set by the user.
+    """
+    import jax
+
+    if directory is None:
+        directory = os.environ.get(
+            "GECCO_TPU_JAX_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "gecco_tpu", "jax"),
+        )
+    try:
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update("jax_compilation_cache_dir", str(directory))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass

@@ -40,6 +40,13 @@ def configure_parser(
         description="Biosynthetic Gene Cluster prediction with Conditional Random Fields (TPU-native).",
     )
     parser.add_argument("-V", "--version", action="version", version=f"{program} {version}")
+    # top-level verbosity combines with the subcommand's own flags, so both
+    # ``gecco -vv run`` (reference/Galaxy style, galaxy/gecco.xml:27) and
+    # ``gecco run -vv`` work.
+    parser.add_argument("-v", "--verbose", action="count", default=0, dest="main_verbose",
+                        help="Increase verbosity (-v, -vv).")
+    parser.add_argument("-q", "--quiet", action="count", default=0, dest="main_quiet",
+                        help="Silence most of the log output.")
     commands = parser.add_subparsers(required=True, metavar="COMMAND", dest="command")
     for name, (module, help_text) in _COMMANDS.items():
         subparser = commands.add_parser(name, help=help_text)
@@ -85,11 +92,24 @@ def main(
     except SystemExit as exit:
         return int(exit.code or 0)
 
-    logger = make_logger(stream, getattr(args, "verbose", 0), getattr(args, "quiet", 0))
+    logger = make_logger(
+        stream,
+        getattr(args, "verbose", 0) + getattr(args, "main_verbose", 0),
+        getattr(args, "quiet", 0) + getattr(args, "main_quiet", 0),
+    )
     previous_showwarning = warnings.showwarning
     warnings.showwarning = logger.showwarnings  # type: ignore[assignment]
     try:
-        return args.run(args, logger, crf_type, classifier_type, default_hmms)
+        from ..._meta import enable_jax_compilation_cache
+        from ...profiling import TIMER, xla_trace
+
+        enable_jax_compilation_cache()
+        TIMER.reset()
+        with xla_trace(getattr(args, "profile", None)):
+            code = args.run(args, logger, crf_type, classifier_type, default_hmms)
+        for name, (calls, total) in TIMER.summary().items():
+            logger.info(f"timing: {name}: {total:.3f}s ({calls} calls)", level=2)
+        return code
     except KeyboardInterrupt:
         logger.error("Interrupted")
         return -signal.SIGINT

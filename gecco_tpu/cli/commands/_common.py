@@ -21,6 +21,8 @@ from typing import Callable, Iterable, Iterator, List, Optional, Set, Type
 
 import numpy
 
+from ...profiling import timed
+
 from ... import __version__
 from ..._meta import zopen
 from .._log import ConsoleLogger
@@ -143,6 +145,21 @@ def load_sequences(logger, genome, *, format: Optional[str]):
     logger.success(f"Loaded {n} sequences from {str(genome)!r}", level=1)
 
 
+def shard_sequences(logger, sequences: List, *, shard: Optional[str]) -> List:
+    """Keep only this process's deterministic contig shard (``--shard K/N``)."""
+    from ...parallel.hosts import contig_shard, parse_shard
+
+    index, count = parse_shard(shard)
+    if count == 1:
+        return sequences
+    keep = contig_shard([len(r.seq) for r in sequences], index, count)
+    logger.info(
+        "Sharding:", f"processing {len(keep)} of {len(sequences)} contigs "
+        f"(shard {index + 1}/{count})", level=1,
+    )
+    return [sequences[i] for i in keep]
+
+
 def load_genes(logger, table_path) -> Iterator:
     from ...model import GeneTable
 
@@ -261,6 +278,7 @@ def label_genes(logger, genes: List, clusters) -> List:
 
 # --- Extract genes ------------------------------------------------------------
 
+@timed("extract-genes")
 def extract_genes(
     logger, sequences: List, *,
     gff_file, cds_feature, locus_tag, mask: bool, jobs: int,
@@ -355,6 +373,7 @@ def _disentangle(gene):
     return gene.with_protein(gene.protein.with_domains(keep))
 
 
+@timed("annotate-domains")
 def annotate_domains(
     logger, genes: List, *,
     hmm_paths: List, default_hmms: Iterable, whitelist=None,
@@ -391,6 +410,7 @@ def annotate_domains(
 
 # --- Predict ------------------------------------------------------------------
 
+@timed("predict-probabilities")
 def predict_probabilities(logger, genes: List, *, model, pad: bool, crf_type) -> List:
     if model is None:
         logger.info("Loading", "embedded CRF pre-trained model", level=1)
@@ -401,6 +421,7 @@ def predict_probabilities(logger, genes: List, *, model, pad: bool, crf_type) ->
     return crf.predict_probabilities(genes, pad=pad)
 
 
+@timed("extract-clusters")
 def extract_clusters(
     logger, genes: List, *, threshold, postproc, cds, edge_distance, trim,
 ) -> List:
@@ -431,6 +452,7 @@ def load_model_domains(logger, classifier) -> Set[str]:
     return domains
 
 
+@timed("predict-types")
 def predict_types(logger, clusters: List, *, classifier) -> List:
     logger.info("Predicting", "gene cluster types", level=1)
     clusters = classifier.predict_types(clusters)
@@ -451,6 +473,7 @@ def seed_rng(logger, seed: int) -> None:
     numpy.random.seed(seed)
 
 
+@timed("fit-model")
 def fit_model(
     logger, genes: List, *,
     feature_type, c1, c2, window_size, window_step,

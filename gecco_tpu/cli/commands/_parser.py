@@ -38,9 +38,12 @@ def configure_common(parser: argparse.ArgumentParser, defaults: Dict[str, object
                         help="Increase verbosity (-v, -vv).")
     parser.add_argument("-q", "--quiet", action="count", default=0,
                         help="Silence most of the log output.")
+    parser.add_argument("--profile", metavar="DIR", default=defaults.get("--profile"),
+                        help="Record an XLA profiler trace of the whole command into DIR.")
 
 
-def group_input_sequences(parser, defaults: Dict[str, object], short: bool = True) -> None:
+def group_input_sequences(parser, defaults: Dict[str, object], short: bool = True,
+                          shard: bool = True) -> None:
     group = parser.add_argument_group("Input Sequences")
     names = ["-g", "--genome"] if short else ["--genome"]
     group.add_argument(*names, required=True, type=pathlib.Path,
@@ -48,6 +51,10 @@ def group_input_sequences(parser, defaults: Dict[str, object], short: bool = Tru
     fmt = ["-f", "--format"] if short else ["--format"]
     group.add_argument(*fmt, default=None,
                        help="The format of the input file (detected automatically when omitted).")
+    if shard:
+        group.add_argument("--shard", default=defaults.get("--shard"), metavar="K/N",
+                           help="Process only the K-th of N deterministic, length-balanced "
+                                "contig shards (multi-host runs; merge the per-shard tables afterwards).")
 
 
 def group_input_tables(parser, defaults: Dict[str, object], clusters: bool = True) -> None:

@@ -16,7 +16,7 @@ __all__ = ["configure_parser", "run"]
 
 def configure_parser(parser: argparse.ArgumentParser, defaults) -> None:
     _parser.configure_common(parser, defaults)
-    _parser.group_input_sequences(parser, defaults, short=False)
+    _parser.group_input_sequences(parser, defaults, short=False, shard=False)
     _parser.group_input_tables(parser, defaults, clusters=False)
     _parser.group_output(parser, defaults)
     _parser.group_filtering(parser, defaults)

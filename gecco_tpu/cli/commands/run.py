@@ -34,6 +34,7 @@ def run(args, logger, crf_type, classifier_type, default_hmms) -> int:
     _common.make_output_directory(logger, args.output_dir, outputs)
 
     sequences = list(_common.load_sequences(logger, args.genome, format=args.format))
+    sequences = _common.shard_sequences(logger, sequences, shard=args.shard)
     genes = _common.extract_genes(
         logger, sequences,
         gff_file=args.gff_file, cds_feature=args.cds_feature,

@@ -28,7 +28,7 @@ import numpy
 from .batch import ProfileBank, _round_up
 from .profile import length_model
 
-__all__ = ["msv_scores_pallas", "MSVKernel", "ForwardKernel"]
+__all__ = ["msv_scores_pallas", "MSVKernel", "ForwardKernel", "Bucketed"]
 
 NEG = -1e30
 
@@ -194,7 +194,10 @@ class MSVKernel:
         if S == 0:
             return numpy.zeros((0, self.bank.P), dtype=numpy.float32)
         Lp = pad_to or _round_up(max(len(x) for x in sequences), 32)
+        # round the tile count to a power of two: O(log S) compiled
+        # shapes instead of one per batch size
         St = _round_up(S, self.seq_tile) // self.seq_tile
+        St = 1 << (St - 1).bit_length()
         n = St * self.seq_tile
         xs = numpy.zeros((n, Lp), dtype=numpy.int32)
         lens = numpy.zeros(n, dtype=numpy.int32)
@@ -219,6 +222,35 @@ class MSVKernel:
             self.e_log, self.tbm,
         )
         return numpy.asarray(out)[:S, : self.bank.P]
+
+
+class Bucketed:
+    """Length-bucketed wrapper around a single-bank kernel class.
+
+    Packing all 2,766 Pfam profiles into one ``[P, Mp]`` bank pads every
+    profile to the longest model (lane-rounded), wasting VPU lanes on
+    the short majority (median Pfam model ≲ 150 nodes).  This wrapper
+    splits the bank into lane-width buckets (``Mp`` = 128, 256, …), runs
+    the wrapped kernel per bucket, and scatters scores back into the
+    original profile order — same results, ~1.5–2× fewer padded cells.
+    """
+
+    def __init__(self, kernel_cls, bank: ProfileBank, lane: int = 128, **kwargs):
+        self.bank = bank
+        self.buckets = []
+        caps = {}
+        for i, m in enumerate(bank.lengths):
+            caps.setdefault(_round_up(max(8, int(m)), lane), []).append(i)
+        for cap in sorted(caps):
+            idx = numpy.asarray(caps[cap], dtype=numpy.int64)
+            sub = bank.select(idx, lane=lane)
+            self.buckets.append((idx, kernel_cls(sub, **kwargs)))
+
+    def __call__(self, sequences, pad_to=None, interpret=False):
+        out = numpy.zeros((len(sequences), self.bank.P), dtype=numpy.float32)
+        for idx, kern in self.buckets:
+            out[:, idx] = kern(sequences, pad_to=pad_to, interpret=interpret)
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -367,7 +399,10 @@ class ForwardKernel:
         if S == 0:
             return numpy.zeros((0, self.bank.P), dtype=numpy.float32)
         Lp = pad_to or _round_up(max(len(x) for x in sequences), 32)
+        # round the tile count to a power of two: O(log S) compiled
+        # shapes instead of one per batch size
         St = _round_up(S, self.seq_tile) // self.seq_tile
+        St = 1 << (St - 1).bit_length()
         n = St * self.seq_tile
         xs = numpy.zeros((n, Lp), dtype=numpy.int32)
         lens = numpy.zeros(n, dtype=numpy.int32)

@@ -137,9 +137,9 @@ class SearchPipeline:
             else:
                 if backend == "pallas":
                     if self._msv_kernel is None:
-                        from .kernels import MSVKernel
+                        from .kernels import Bucketed, MSVKernel
 
-                        self._msv_kernel = MSVKernel(self._bank)
+                        self._msv_kernel = Bucketed(MSVKernel, self._bank)
                     msv = self._msv_kernel(seqs, pad_to=current_cap)
                 else:
                     msv = msv_scores(self._bank, seqs)  # [S, P] nats
@@ -157,16 +157,22 @@ class SearchPipeline:
             if not profile_union:
                 return
             if self.use_accelerator:
-                sub = self._bank.select(profile_union)
                 keep_seqs = [i for i in bucket if surviving[i]]
                 if backend == "pallas":
                     from .kernels import ForwardKernel
 
-                    fkern = ForwardKernel(sub)
+                    # pad the sub-bank to a power-of-two profile count so
+                    # every flush reuses one of O(log P) compiled kernels
+                    # instead of recompiling per union size
+                    padded = list(profile_union)
+                    target = max(8, 1 << (len(padded) - 1).bit_length())
+                    padded += [padded[0]] * (target - len(padded))
+                    fkern = ForwardKernel(self._bank.select(padded))
                     fwd = fkern(
                         [sequences[i] for i in keep_seqs], pad_to=current_cap
                     )
                 else:
+                    sub = self._bank.select(profile_union)
                     fwd = forward_scores(sub, [sequences[i] for i in keep_seqs])
                 for s, i in enumerate(keep_seqs):
                     for c, p in enumerate(profile_union):

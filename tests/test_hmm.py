@@ -217,6 +217,21 @@ def test_pallas_forward_matches_batch(profiles, sequences):
     numpy.testing.assert_allclose(scores, reference, atol=5e-3)
 
 
+def test_bucketed_kernels_match_single_bank(profiles, sequences):
+    """Length-bucketed kernels scatter scores back in profile order."""
+    from gecco_tpu.hmm.batch import _round_up
+    from gecco_tpu.hmm.kernels import Bucketed, ForwardKernel, MSVKernel
+
+    bank = batch.ProfileBank.build(profiles)
+    xs = [x for _, x in sequences]
+    assert len({_round_up(int(m), 128) for m in bank.lengths}) > 1  # real bucketing
+    for cls, scorer in ((MSVKernel, batch.msv_scores), (ForwardKernel, batch.forward_scores)):
+        reference = numpy.asarray(scorer(bank, xs))
+        kern = Bucketed(cls, bank, seq_tile=4, profile_chunk=8)
+        scores = kern(xs, interpret=True)
+        numpy.testing.assert_allclose(scores, reference, atol=5e-3)
+
+
 def test_pipeline_reports_expected_hits(profiles, sequences):
     pipeline = SearchPipeline(profiles, Z=10, domZ=10)
     hits = pipeline.search([x for _, x in sequences])

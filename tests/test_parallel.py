@@ -105,3 +105,83 @@ def test_merge_clusters_shard_invariant():
     ids_2 = [(c.id, c.start) for c in merged_2]
     assert ids_1 == ids_2
     assert ids_1 == [("s1_cluster_1", 100), ("s1_cluster_2", 500), ("s2_cluster_1", 10)]
+
+
+# ---- multi-host layer (gecco_tpu.parallel.hosts) -------------------------
+
+def test_initialize_single_process():
+    from gecco_tpu.parallel.hosts import initialize
+
+    assert initialize() == (0, 1)
+
+
+def test_contig_shard_partition_and_balance():
+    from gecco_tpu.parallel.hosts import contig_shard
+
+    rng = numpy.random.default_rng(3)
+    lengths = rng.integers(1_000, 5_000_000, size=57).tolist()
+    shards = [contig_shard(lengths, k, 4) for k in range(4)]
+    # exact partition of all indices
+    assert sorted(i for s in shards for i in s) == list(range(57))
+    # balanced within the largest contig
+    loads = [sum(lengths[i] for i in s) for s in shards]
+    assert max(loads) - min(loads) <= max(lengths)
+    # deterministic
+    assert shards == [contig_shard(lengths, k, 4) for k in range(4)]
+
+
+def test_parse_shard():
+    from gecco_tpu.parallel.hosts import parse_shard
+
+    assert parse_shard(None) == (0, 1)
+    assert parse_shard("1/1") == (0, 1)
+    assert parse_shard("3/8") == (2, 8)
+    with pytest.raises(ValueError):
+        parse_shard("0/4")
+    with pytest.raises(ValueError):
+        parse_shard("5/4")
+    with pytest.raises(ValueError):
+        parse_shard("nope")
+
+
+def test_cli_shard_covers_all_contigs(tmp_path):
+    """Union of per-shard `annotate` gene tables = unsharded gene table."""
+    import csv
+    import io
+    import os
+
+    from gecco_tpu.cli import main
+
+    from conftest import reference_path
+
+    minipfam = reference_path("test_hmmer", "data", "minipfam.hmm")
+
+    # split the single reference contig into 3 so sharding is non-trivial
+    src = reference_path("test_orf", "data", "BGC0001737.fna")
+    with open(src) as f:
+        seq = "".join(line.strip() for line in f if not line.startswith(">"))
+    third = len(seq) // 3
+    genome = str(tmp_path / "multi.fna")
+    with open(genome, "w") as f:
+        for i in range(3):
+            chunk = seq[i * third : (i + 1) * third if i < 2 else len(seq)]
+            f.write(f">contig_{i}\n{chunk}\n")
+
+    def genes_of(directory):
+        with open(os.path.join(directory, "multi.genes.tsv"), newline="") as f:
+            return {row["sequence_id"] + ":" + row["start"] for row in csv.DictReader(f, delimiter="\t")}
+
+    whole = tmp_path / "whole"
+    code = main(["annotate", "-g", genome, "--hmm", minipfam,
+                 "-o", str(whole), "--force-tsv"], io.StringIO())
+    assert code == 0
+    sharded = set()
+    for k in (1, 2):
+        out = tmp_path / f"shard{k}"
+        code = main(["annotate", "-g", genome, "--hmm", minipfam,
+                     "-o", str(out), "--force-tsv", "--shard", f"{k}/2"], io.StringIO())
+        assert code == 0
+        part = genes_of(out)
+        assert not part & sharded  # disjoint
+        sharded |= part
+    assert sharded == genes_of(whole)
