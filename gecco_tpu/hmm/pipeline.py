@@ -185,9 +185,21 @@ class SearchPipeline:
                             self.profiles[p], sequences[i]
                         ).score
 
+        # Length-bucketing matters only for the XLA engines, whose scan
+        # length is the padded shape.  The Pallas kernels bound their
+        # residue loop by the true length (Lp is just buffer size), so
+        # one global cap minimizes the number of compiled shapes.
+        global_cap: Optional[int] = None
+        if backend == "pallas" and not self.max_filter:
+            longest = int(lengths.max())
+            global_cap = 1 << max(9, int(math.ceil(math.log2(max(1, longest)))))
+
         current_cap: Optional[int] = None
         for i in order:
-            cap = 1 << max(5, int(math.ceil(math.log2(max(1, lengths[i])))))
+            if global_cap is not None:
+                cap = global_cap
+            else:
+                cap = 1 << max(5, int(math.ceil(math.log2(max(1, lengths[i])))))
             if current_cap is None:
                 current_cap = cap
             if cap != current_cap or len(bucket) >= 64:
