@@ -1,11 +1,13 @@
 #!/usr/bin/env python
 """Single-chip benchmark: annotate+decode throughput (genomes/hour/chip).
 
-Measures the two on-device hot paths of the pipeline on one chip:
+Measures the two on-device hot paths of the pipeline on one chip,
+mirroring the production SearchPipeline stages:
 
-1. **annotate** — MSV filter of every (protein, profile) pair against a
+1. **annotate** — SSV filter of every (protein, profile) pair against a
    2,766-profile bank (the size of GECCO's pruned Pfam library,
-   ``BASELINE.md``), plus Forward rescoring of filter survivors;
+   ``BASELINE.md``), plus pair-dense Forward rescoring of filter
+   survivors (~2% of pairs at F1=0.02, gathered per sequence);
 2. **decode** — windowed CRF forward–backward marginals (W=20, step 1)
    for a full-genome gene chain with max-pooling.
 
@@ -83,46 +85,51 @@ def main() -> None:
         tuple(jnp.asarray(a) for a in b) for b in batches
     ]
 
-    # MSV filter stage: Pallas kernel on TPU (bank resident in VMEM),
-    # XLA batch engine elsewhere.  NB: through the remote-execution
-    # tunnel ``block_until_ready`` can return before the work is done; a
-    # host reduction is the only reliable synchronization, so every
-    # stage is timed through a host-side sum.
+    # SSV filter stage (pipeline stage 1): Pallas kernel on TPU (bank
+    # resident in VMEM), XLA batch engine elsewhere — one dispatch per
+    # length bucket for the whole protein set, as the SearchPipeline
+    # flushes it.  NB: through the remote-execution tunnel
+    # ``block_until_ready`` can return before the work is done; a host
+    # reduction is the only reliable synchronization, so every stage is
+    # timed through a host-side sum.
     if on_tpu:
-        from gecco_tpu.hmm.kernels import Bucketed, MSVKernel
+        from gecco_tpu.hmm.kernels import Bucketed, SSVKernel
 
-        kern = Bucketed(MSVKernel, bank, seq_tile=8, profile_chunk=256)
-        float(kern(seqs[:BATCH], pad_to=Lp).sum())  # compile
+        kern = Bucketed(SSVKernel, bank, seq_tile=8, profile_chunk=256)
+        float(kern(seqs, pad_to=Lp).sum())  # compile
         t0 = time.perf_counter()
-        acc = 0.0
-        for i in range(0, len(seqs), BATCH):
-            acc += float(kern(seqs[i : i + BATCH], pad_to=Lp).sum())
+        acc = float(kern(seqs, pad_to=Lp).sum())
         t_msv = time.perf_counter() - t0
     else:
-        msv = _jit_msv(bank.P, bank.Mp, Lp)
+        from gecco_tpu.hmm.batch import _jit_ssv
+
+        ssv = _jit_ssv(bank.P, bank.Mp, Lp)
         bank_dev = tuple(jnp.asarray(a) for a in _bank_tuple(bank))
-        float(jnp.sum(msv(bank_dev, *batches_dev[0])))
+        float(jnp.sum(ssv(bank_dev, *batches_dev[0])))
         t0 = time.perf_counter()
         acc = 0.0
         for b in batches_dev:
-            acc += float(jnp.sum(msv(bank_dev, *b)))
+            acc += float(jnp.sum(ssv(bank_dev, *b)))
         t_msv = time.perf_counter() - t0
 
-    # Forward stage on filter survivors: with a realistic pass rate of
-    # ~2% of profiles per protein, rescore one 64-profile sub-bank per
-    # protein batch (shapes representative of production).
-    sub = bank.select(list(range(64)))
+    # Forward stage on filter survivors (pipeline stage 2): pair-dense —
+    # at the hmmsearch default F1=0.02 each protein keeps ~2% of the
+    # 2,766 profiles (~55, padded to 64); the kernel gathers each
+    # sequence's survivor rows on device and scores only real pairs.
+    SURV = 64
+    rng = numpy.random.default_rng(2)
+    survivors = [rng.choice(bank.P, size=SURV, replace=False).tolist() for _ in seqs]
     if on_tpu:
-        from gecco_tpu.hmm.kernels import Bucketed, ForwardKernel
+        from gecco_tpu.hmm.kernels import PairBucketed
 
-        fkern = Bucketed(ForwardKernel, sub, seq_tile=8, profile_chunk=64)
-        float(fkern(seqs[:BATCH], pad_to=Lp).sum())  # compile
+        fkern = PairBucketed(bank)
+        fkern(seqs, survivors, pad_to=Lp)  # compile at the full shape
         t0 = time.perf_counter()
-        acc = 0.0
-        for i in range(0, len(seqs), BATCH):
-            acc += float(fkern(seqs[i : i + BATCH], pad_to=Lp).sum())
+        got = fkern(seqs, survivors, pad_to=Lp)
         t_fwd = time.perf_counter() - t0
+        assert len(got) == len(seqs) * SURV
     else:
+        sub = bank.select(list(range(SURV)))
         sub_dev = tuple(jnp.asarray(a) for a in _bank_tuple(sub))
         fwd_fn = _jit_forward(sub.P, sub.Mp, Lp)
         float(jnp.sum(fwd_fn(sub_dev, *batches_dev[0])))

@@ -25,7 +25,7 @@ import numpy
 from .io import AMINO_ALPHABET
 from .profile import SearchProfile, length_model
 
-__all__ = ["ProfileBank", "forward_scores", "msv_scores"]
+__all__ = ["ProfileBank", "forward_scores", "msv_scores", "ssv_scores"]
 
 _K = 21  # 20 amino acids + degenerate
 
@@ -285,6 +285,79 @@ def _jit_msv(P: int, Mp: int, Lp: int):
 
     batched = jax.vmap(one_sequence, in_axes=(None, 0, 0, 0, 0))
     return jax.jit(lambda args, xs, masks, loops, moves: batched(args, xs, masks, loops, moves))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_ssv(P: int, Mp: int, Lp: int):
+    import jax
+    import jax.numpy as jnp
+
+    def one_sequence(args, x, mask, loop, move):
+        (e_odds, *_rest, msv_tbm) = args
+
+        def shift(a):
+            return jnp.pad(a[:, :-1], ((0, 0), (1, 0)))
+
+        def step(carry, inputs):
+            M, N, B, C, logscale = carry
+            xi, valid = inputs
+            e = jax.lax.dynamic_index_in_dim(e_odds, xi, axis=0, keepdims=False)
+            Mn = e * jnp.maximum(shift(M), B[:, None] * msv_tbm[:, None])
+            E = jnp.max(Mn, axis=1)
+            Cn = jnp.maximum(C * loop, E * 0.5)
+            Nn = N * loop
+            Bn = Nn * move
+            total = E + Bn + Nn + Cn + 1e-30
+            inv = 1.0 / total
+            new = (Mn * inv[:, None], Nn * inv, Bn * inv, Cn * inv,
+                   logscale + jnp.log(total))
+            merged = tuple(jnp.where(valid, n, o) for n, o in zip(new, carry))
+            return merged, None
+
+        M0 = jnp.zeros((P, Mp), jnp.float32)
+        N0 = jnp.ones(P, jnp.float32)
+        B0 = jnp.zeros(P, jnp.float32) + move
+        carry, _ = jax.lax.scan(
+            step,
+            (M0, N0, B0, jnp.zeros(P, jnp.float32), jnp.zeros(P, jnp.float32)),
+            (x, mask),
+        )
+        return jnp.log(carry[3] * move + 1e-38) + carry[4]
+
+    batched = jax.vmap(one_sequence, in_axes=(None, 0, 0, 0, 0))
+    return jax.jit(lambda args, xs, masks, loops, moves: batched(args, xs, masks, loops, moves))
+
+
+def ssv_scores(
+    bank: ProfileBank,
+    sequences: Sequence["numpy.ndarray"],
+    pad_to: Optional[int] = None,
+) -> "numpy.ndarray":
+    """SSV filter log-odds scores (nats) for every pair, ``[S, P]``.
+
+    Single-segment variant of ``msv_scores`` (no J state) — the stage-1
+    filter of HMMER ≥3.1; matches ``engine.ssv_score`` per pair.
+    """
+    import jax.numpy as jnp
+
+    S = len(sequences)
+    if S == 0:
+        return numpy.zeros((0, bank.P), dtype=numpy.float32)
+    Lp = pad_to or _round_up(max(len(x) for x in sequences), 32)
+    xs = numpy.zeros((S, Lp), dtype=numpy.int32)
+    masks = numpy.zeros((S, Lp), dtype=bool)
+    loops = numpy.zeros(S, dtype=numpy.float32)
+    moves = numpy.zeros(S, dtype=numpy.float32)
+    for i, x in enumerate(sequences):
+        L = len(x)
+        xs[i, :L] = x
+        masks[i, :L] = True
+        loop, move = length_model(L)
+        loops[i] = math.exp(loop)
+        moves[i] = math.exp(move)
+    fn = _jit_ssv(bank.P, bank.Mp, Lp)
+    out = fn(_bank_tuple(bank), jnp.asarray(xs), jnp.asarray(masks), jnp.asarray(loops), jnp.asarray(moves))
+    return numpy.asarray(out)
 
 
 def msv_scores(

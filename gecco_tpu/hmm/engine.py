@@ -24,6 +24,7 @@ __all__ = [
     "backward",
     "viterbi_score",
     "msv_score",
+    "ssv_score",
     "posterior_decode",
     "define_domains",
     "DomainHit",
@@ -234,6 +235,34 @@ def msv_score(gm: SearchProfile, x: "numpy.ndarray") -> float:
         vC = max(vC + loop, E + gm.move_e)
         vN = vN + loop
         vB = max(vN + move, vJ + move)
+        vM = newM
+    return float(vC + move)
+
+
+def ssv_score(gm: SearchProfile, x: "numpy.ndarray") -> float:
+    """SSV (single segment Viterbi) filter score in nats.
+
+    MSV without the J state: exactly one high-scoring diagonal segment,
+    scored through the same multihit length model.  This is the stage-1
+    acceleration filter of HMMER ≥3.1 (and therefore of pyhmmer, which
+    the reference wraps at ``/root/reference/gecco/hmmer/__init__.py:131-140``):
+    the SSV score is thresholded with the MSV Gumbel calibration.
+    ``ssv_score ≤ msv_score`` always (dropping J removes max alternatives).
+    """
+    L, M = len(x), gm.M
+    loop, move = length_model(L)
+    tbm = math.log(2.0 / (M * (M + 1.0)))
+    e = _emissions(gm, x)
+    vM = numpy.full(M + 1, _NEG)
+    vN, vB, vC = 0.0, move, _NEG
+    for i in range(1, L + 1):
+        ei = e[i - 1]
+        newM = numpy.full(M + 1, _NEG)
+        newM[1:] = ei[1:] + numpy.maximum(vM[:-1], vB + tbm)
+        E = newM[1:].max()
+        vC = max(vC + loop, E + gm.move_e)
+        vN = vN + loop
+        vB = vN + move
         vM = newM
     return float(vC + move)
 

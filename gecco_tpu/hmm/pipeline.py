@@ -4,11 +4,17 @@ Mirrors the acceleration pipeline the reference gets from
 ``pyhmmer.hmmer.hmmsearch`` (``/root/reference/gecco/hmmer/__init__.py:131-140``),
 re-architected for the accelerator:
 
-1. **MSV filter** — batched on-device scores of *all* (sequence,
-   profile) pairs, Gumbel P-value threshold ``F1`` (default 0.02);
-2. **Forward** — batched on-device scores of surviving pairs
-   (host-compacted sub-bank), exponential-tail threshold ``F3``
-   (default 1e-5);
+1. **SSV filter** — batched on-device scores of *all* (sequence,
+   profile) pairs, Gumbel P-value threshold ``F1`` (default 0.02).
+   Like HMMER ≥3.1 (and therefore pyhmmer) the stage-1 score is the
+   single-segment SSV, thresholded with the MSV Gumbel calibration;
+   ``filter_stage="msv"`` restores the multi-segment MSV filter.
+2. **Forward** — batched on-device scores of surviving pairs,
+   exponential-tail threshold ``F3`` (default 1e-5).  On the Pallas
+   backend this is *pair-dense*: each sequence's surviving profile
+   rows are gathered on device into a per-sequence sub-bank, so no
+   (sequence, profile) pair that failed the filter is ever rescored
+   (a batch×union rescore would waste 10–30× the FLOPs at F1=0.02).
 3. **domain definition** — host float64 posterior decoding, envelopes,
    null2 bias, optimal-accuracy alignment (``gecco_tpu.hmm.engine``) for
    the rare survivors.
@@ -30,7 +36,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy
 
 from . import engine
-from .batch import ProfileBank, forward_scores, msv_scores
+from .batch import ProfileBank, forward_scores, msv_scores, ssv_scores
 from .engine import DomainHit, exp_surv, gumbel_surv
 from .profile import SearchProfile, null1_score
 
@@ -67,6 +73,7 @@ class SearchPipeline:
         use_accelerator: bool = True,
         max_filter: bool = False,
         backend: str = "auto",
+        filter_stage: str = "ssv",
     ) -> None:
         self.profiles = list(profiles)
         self.Z = Z
@@ -83,8 +90,12 @@ class SearchPipeline:
         if backend not in ("auto", "pallas", "xla"):
             raise ValueError(f"invalid backend: {backend!r}")
         self.backend = backend
+        if filter_stage not in ("ssv", "msv"):
+            raise ValueError(f"invalid filter stage: {filter_stage!r}")
+        self.filter_stage = filter_stage
         self._bank = ProfileBank.build(self.profiles) if self.profiles else None
-        self._msv_kernel = None
+        self._filter_kernel = None
+        self._pair_forward = None
 
     def _resolve_backend(self) -> str:
         """Pick the device engine: Pallas kernels on TPU, XLA elsewhere."""
@@ -122,9 +133,10 @@ class SearchPipeline:
         lengths = numpy.array([len(x) for x in sequences])
         nullsc = numpy.array([null1_score(int(L)) for L in lengths])
 
-        # ---- stage 1+2 (device): MSV filter then Forward on survivors
+        # ---- stage 1 (device): SSV/MSV filter of all pairs
         backend = self._resolve_backend() if self.use_accelerator else "xla"
         pair_scores: Dict[Tuple[int, int], float] = {}
+        surviving: Dict[int, List[int]] = {}
         order = numpy.argsort(lengths, kind="stable")
         bucket: List[int] = []
 
@@ -133,57 +145,29 @@ class SearchPipeline:
                 return
             seqs = [sequences[i] for i in bucket]
             if self.max_filter or not self.use_accelerator:
-                surviving = {i: list(range(len(self.profiles))) for i in bucket}
-            else:
-                if backend == "pallas":
-                    if self._msv_kernel is None:
-                        from .kernels import Bucketed, MSVKernel
-
-                        self._msv_kernel = Bucketed(MSVKernel, self._bank)
-                    msv = self._msv_kernel(seqs, pad_to=current_cap)
-                else:
-                    msv = msv_scores(self._bank, seqs)  # [S, P] nats
-                bits = (msv - nullsc[bucket][:, None]) / LOG2
-                lam = self._bank.msv_lambda[None, :]
-                mu = self._bank.msv_mu[None, :]
-                y = lam * (bits - mu)
-                pv = numpy.where(y > 30, numpy.exp(-y), 1.0 - numpy.exp(-numpy.exp(-numpy.minimum(y, 30))))
-                keep = pv <= self.F1
-                surviving = {
-                    i: numpy.nonzero(keep[s])[0].tolist()
-                    for s, i in enumerate(bucket)
-                }
-            profile_union = sorted({p for ps in surviving.values() for p in ps})
-            if not profile_union:
-                return
-            if self.use_accelerator:
-                keep_seqs = [i for i in bucket if surviving[i]]
-                if backend == "pallas":
-                    from .kernels import ForwardKernel
-
-                    # pad the sub-bank to a power-of-two profile count so
-                    # every flush reuses one of O(log P) compiled kernels
-                    # instead of recompiling per union size
-                    padded = list(profile_union)
-                    target = max(8, 1 << (len(padded) - 1).bit_length())
-                    padded += [padded[0]] * (target - len(padded))
-                    fkern = ForwardKernel(self._bank.select(padded))
-                    fwd = fkern(
-                        [sequences[i] for i in keep_seqs], pad_to=current_cap
-                    )
-                else:
-                    sub = self._bank.select(profile_union)
-                    fwd = forward_scores(sub, [sequences[i] for i in keep_seqs])
-                for s, i in enumerate(keep_seqs):
-                    for c, p in enumerate(profile_union):
-                        if p in surviving[i]:
-                            pair_scores[(i, p)] = float(fwd[s, c])
-            else:
                 for i in bucket:
-                    for p in surviving[i]:
-                        pair_scores[(i, p)] = engine.forward(
-                            self.profiles[p], sequences[i]
-                        ).score
+                    surviving[i] = list(range(len(self.profiles)))
+                return
+            if backend == "pallas":
+                if self._filter_kernel is None:
+                    from .kernels import Bucketed, MSVKernel, SSVKernel
+
+                    cls = SSVKernel if self.filter_stage == "ssv" else MSVKernel
+                    self._filter_kernel = Bucketed(cls, self._bank)
+                scores = self._filter_kernel(seqs, pad_to=current_cap)
+            else:
+                scorer = ssv_scores if self.filter_stage == "ssv" else msv_scores
+                scores = scorer(self._bank, seqs)  # [S, P] nats
+            bits = (scores - nullsc[bucket][:, None]) / LOG2
+            lam = self._bank.msv_lambda[None, :]
+            mu = self._bank.msv_mu[None, :]
+            y = lam * (bits - mu)
+            pv = numpy.where(y > 30, numpy.exp(-y), 1.0 - numpy.exp(-numpy.exp(-numpy.minimum(y, 30))))
+            keep = pv <= self.F1
+            for s, i in enumerate(bucket):
+                kept = numpy.nonzero(keep[s])[0].tolist()
+                if kept:
+                    surviving[i] = kept
 
         # Length-bucketing matters only for the XLA engines, whose scan
         # length is the padded shape.  The Pallas kernels bound their
@@ -202,12 +186,60 @@ class SearchPipeline:
                 cap = 1 << max(5, int(math.ceil(math.log2(max(1, lengths[i])))))
             if current_cap is None:
                 current_cap = cap
-            if cap != current_cap or len(bucket) >= 64:
+            if cap != current_cap or len(bucket) >= 256:
                 flush(bucket)
                 bucket = []
                 current_cap = cap
             bucket.append(int(i))
         flush(bucket)
+
+        # ---- stage 2 (device): Forward rescore of surviving pairs
+        keys = sorted(surviving)
+        if not keys:
+            return []
+        if not self.use_accelerator:
+            for i in keys:
+                for p in surviving[i]:
+                    pair_scores[(i, p)] = engine.forward(
+                        self.profiles[p], sequences[i]
+                    ).score
+        elif backend == "pallas" and self.max_filter:
+            # every pair survives: dense full-bank rescore is cheaper
+            # than gathering a full-bank copy per sequence
+            from .kernels import Bucketed, ForwardKernel
+
+            seqs = [sequences[i] for i in keys]
+            fwd = Bucketed(ForwardKernel, self._bank)(seqs)
+            for s, i in enumerate(keys):
+                for p in surviving[i]:
+                    pair_scores[(i, p)] = float(fwd[s, p])
+        elif backend == "pallas":
+            if self._pair_forward is None:
+                from .kernels import PairBucketed
+
+                self._pair_forward = PairBucketed(self._bank)
+            got = self._pair_forward(
+                [sequences[i] for i in keys],
+                [surviving[i] for i in keys],
+                pad_to=global_cap,
+            )
+            pair_scores = {(keys[s], p): v for (s, p), v in got.items()}
+        else:
+            # XLA path: batch × profile-union per length bucket
+            by_cap: Dict[int, List[int]] = {}
+            for i in keys:
+                cap = 1 << max(5, int(math.ceil(math.log2(max(1, lengths[i])))))
+                by_cap.setdefault(cap, []).append(i)
+            for cap, group in sorted(by_cap.items()):
+                for start in range(0, len(group), 64):
+                    chunk = group[start : start + 64]
+                    union = sorted({p for i in chunk for p in surviving[i]})
+                    sub = self._bank.select(union)
+                    fwd = forward_scores(sub, [sequences[i] for i in chunk])
+                    col = {p: c for c, p in enumerate(union)}
+                    for s, i in enumerate(chunk):
+                        for p in surviving[i]:
+                            pair_scores[(i, p)] = float(fwd[s, col[p]])
 
         # ---- stage 3 (host): Forward threshold, domain definition, reporting
         hits: List[SequenceHit] = []

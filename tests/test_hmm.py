@@ -193,6 +193,51 @@ def test_batch_msv_matches_engine(profiles, sequences):
             assert scores[s, p] == pytest.approx(reference, abs=5e-3), (s, p)
 
 
+def test_ssv_score_below_msv_and_matches_batch(profiles, sequences):
+    """SSV (single segment) ≤ MSV per pair; batch engine matches host."""
+    bank = batch.ProfileBank.build(profiles)
+    xs = [x for _, x in sequences]
+    scores = batch.ssv_scores(bank, xs)
+    for s, x in enumerate(xs):
+        for p, gm in enumerate(profiles):
+            reference = engine.ssv_score(gm, x)
+            assert scores[s, p] == pytest.approx(reference, abs=5e-3), (s, p)
+            assert reference <= engine.msv_score(gm, x) + 1e-9
+
+
+def test_pallas_ssv_matches_host(profiles, sequences):
+    from gecco_tpu.hmm.kernels import SSVKernel
+
+    bank = batch.ProfileBank.build(profiles)
+    xs = [x for _, x in sequences]
+    kern = SSVKernel(bank, seq_tile=4, profile_chunk=8)
+    scores = kern(xs, interpret=True)
+    for s, x in enumerate(xs):
+        for p, gm in enumerate(profiles):
+            reference = engine.ssv_score(gm, x)
+            assert scores[s, p] == pytest.approx(reference, abs=5e-3), (s, p)
+
+
+def test_pair_forward_matches_batch(profiles, sequences):
+    """The pair-dense gathered Forward equals the all-pairs engine on
+    the chosen pairs, across profile-length buckets."""
+    from gecco_tpu.hmm.kernels import PairBucketed
+
+    bank = batch.ProfileBank.build(profiles)
+    xs = [x for _, x in sequences]
+    reference = numpy.asarray(batch.forward_scores(bank, xs))
+    # a ragged survivor pattern incl. an empty row
+    survivors = [
+        [p for p in range(bank.P) if (s + p) % 3 != 0] if s != 1 else []
+        for s in range(len(xs))
+    ]
+    kern = PairBucketed(bank)
+    scores = kern(xs, survivors, interpret=True)
+    assert set(scores) == {(s, p) for s, ps in enumerate(survivors) for p in ps}
+    for (s, p), value in scores.items():
+        assert value == pytest.approx(reference[s, p], abs=5e-3), (s, p)
+
+
 def test_pallas_msv_matches_batch(profiles, sequences):
     from gecco_tpu.hmm.kernels import MSVKernel
 
