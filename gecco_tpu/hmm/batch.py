@@ -115,15 +115,32 @@ class ProfileBank:
             **arrays,
         )
 
-    def select(self, indices: Sequence[int], lane: int = 128) -> "ProfileBank":
-        """Compact a sub-bank of the given profile rows (host-side gather)."""
+    def select(
+        self, indices: Sequence[int], lane: int = 128, width: Optional[int] = None
+    ) -> "ProfileBank":
+        """Compact a sub-bank of the given profile rows (host-side gather).
+
+        ``width`` pins the padded node width (e.g. to guarantee at least
+        one trailing pad lane so kernels can skip lane-0 masking).
+        """
         idx = numpy.asarray(list(indices), dtype=numpy.int64)
-        Mp = _round_up(max(8, int(self.lengths[idx].max())), lane) if len(idx) else lane
+        if width is not None:
+            Mp = width
+        else:
+            Mp = _round_up(max(8, int(self.lengths[idx].max())), lane) if len(idx) else lane
+
+        def cols(a: "numpy.ndarray") -> "numpy.ndarray":
+            taken = a[..., idx, : min(Mp, a.shape[-1])]
+            if taken.shape[-1] < Mp:  # widen with zero pad columns
+                pad = [(0, 0)] * (taken.ndim - 1) + [(0, Mp - taken.shape[-1])]
+                taken = numpy.pad(taken, pad)
+            return numpy.ascontiguousarray(taken)
+
         return ProfileBank(
-            e_odds=numpy.ascontiguousarray(self.e_odds[:, idx, :Mp]),
-            tmm=self.tmm[idx, :Mp], tim=self.tim[idx, :Mp], tdm=self.tdm[idx, :Mp],
-            tmi=self.tmi[idx, :Mp], tii=self.tii[idx, :Mp],
-            tmd=self.tmd[idx, :Mp], tdd=self.tdd[idx, :Mp], bm=self.bm[idx, :Mp],
+            e_odds=cols(self.e_odds),
+            tmm=cols(self.tmm), tim=cols(self.tim), tdm=cols(self.tdm),
+            tmi=cols(self.tmi), tii=cols(self.tii),
+            tmd=cols(self.tmd), tdd=cols(self.tdd), bm=cols(self.bm),
             msv_tbm=self.msv_tbm[idx], lengths=self.lengths[idx],
             names=[self.names[i] for i in idx],
             accessions=[self.accessions[i] for i in idx],

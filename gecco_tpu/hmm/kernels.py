@@ -46,7 +46,7 @@ def _auto_interpret(interpret: bool) -> bool:
 
 
 @functools.lru_cache(maxsize=None)
-def _pallas_msv(P: int, Mp: int, Lp: int, S: int, Pc: int, interpret: bool):
+def _pallas_msv(P: int, Mp: int, Lp: int, S: int, Pc: int, masked: bool, interpret: bool):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -68,7 +68,8 @@ def _pallas_msv(P: int, Mp: int, Lp: int, S: int, Pc: int, interpret: bool):
                 xi = xs_ref[0, s, i]
                 e = e_ref[xi]  # [Pc, Mp]
                 shifted = pltpu.roll(M, shift=1, axis=1)
-                shifted = jnp.where(lane == 0, NEG, shifted)
+                if masked:
+                    shifted = jnp.where(lane == 0, NEG, shifted)
                 Mn = e + jnp.maximum(shifted, B + tbm)
                 E = jnp.max(Mn, axis=1, keepdims=True)  # [Pc, 1]
                 Elm = E + math.log(0.5)
@@ -155,7 +156,8 @@ def msv_scores_pallas(
         tbm = numpy.full((P_pad, 1), NEG, dtype=numpy.float32)
         tbm[: bank.P, 0] = numpy.log(bank.msv_tbm)
 
-    fn = _pallas_msv(P_pad, bank.Mp, Lp, seq_tile, Pc, interpret)
+    masked = bool((bank.lengths >= bank.Mp).any())
+    fn = _pallas_msv(P_pad, bank.Mp, Lp, seq_tile, Pc, masked, interpret)
     out = fn(
         jnp.asarray(xs.reshape(St, seq_tile, Lp)),
         jnp.asarray(lens.reshape(St, 1, seq_tile)),
@@ -177,6 +179,7 @@ class MSVKernel:
         import jax.numpy as jnp
 
         self.bank = bank
+        self.masked = bool((bank.lengths >= bank.Mp).any())
         self.seq_tile = seq_tile
         self.Pc = min(profile_chunk, _round_up(bank.P, 8))
         self.P_pad = _round_up(bank.P, self.Pc)
@@ -215,7 +218,7 @@ class MSVKernel:
             moves[i] = move
         fn = _pallas_msv(
             self.P_pad, self.bank.Mp, Lp, self.seq_tile, self.Pc,
-            _auto_interpret(interpret),
+            self.masked, _auto_interpret(interpret),
         )
         out = fn(
             jnp.asarray(xs.reshape(St, self.seq_tile, Lp)),
@@ -244,23 +247,30 @@ def _pallas_ssv(P: int, Mp: int, Lp: int, S: int, Pc: int, masked: bool, interpr
             L = lens_ref[0, 0, s]
             loop = loops_ref[0, 0, s]
             move = moves_ref[0, 0, s]
-            cbt0 = tbm_ref[:] + move  # [Pc, 1]: B_0 + tbm
+            # de-offset recurrence: with A_i = M_i - i*loop the entry
+            # threshold becomes the CONSTANT cb0 = tbm + move and the
+            # running segment max needs no per-step loop decay:
+            #   A_i = (e - loop) + max(A_{i-1} shifted, cb0)
+            #   G   = max(G, A_i);   score = rowmax(G) + L*loop + ...
+            cb0 = jnp.broadcast_to(tbm_ref[:] + move, (Pc, Mp))
 
             def step(i, carry):
-                M, G, cbt = carry
+                A, G = carry
                 xi = xs_ref[0, s, i]
                 e = e_ref[xi]  # [Pc, Mp]
-                shifted = pltpu.roll(M, shift=1, axis=1)
+                shifted = pltpu.roll(A, shift=1, axis=1)
                 if masked:
                     shifted = jnp.where(lane == 0, NEG, shifted)
-                Mn = e + jnp.maximum(shifted, cbt)
-                Gn = jnp.maximum(G + loop, Mn)
-                return (Mn, Gn, cbt + loop)
+                An = (e - loop) + jnp.maximum(shifted, cb0)
+                Gn = jnp.maximum(G, An)
+                return (An, Gn)
 
             M0 = jnp.full((Pc, Mp), NEG, jnp.float32)
-            carry = jax.lax.fori_loop(0, L, step, (M0, M0, cbt0))
+            carry = jax.lax.fori_loop(0, L, step, (M0, M0))
             G = carry[1]
-            out_ref[s, :] = jnp.max(G, axis=1) + (math.log(0.5) + move)
+            out_ref[s, :] = jnp.max(G, axis=1) + (
+                L.astype(jnp.float32) * loop + math.log(0.5) + move
+            )
             return 0
 
         jax.lax.fori_loop(0, S, one_sequence, 0)
@@ -368,10 +378,12 @@ class Bucketed:
         self.buckets = []
         caps = {}
         for i, m in enumerate(bank.lengths):
-            caps.setdefault(_round_up(max(8, int(m)), lane), []).append(i)
+            # exclusive cap (M < cap): the guaranteed trailing pad lane
+            # lets kernels skip lane-0 masking of the node shift
+            caps.setdefault(_round_up(max(8, int(m) + 1), lane), []).append(i)
         for cap in sorted(caps):
             idx = numpy.asarray(caps[cap], dtype=numpy.int64)
-            sub = bank.select(idx, lane=lane)
+            sub = bank.select(idx, lane=lane, width=cap)
             self.buckets.append((idx, kernel_cls(sub, **kwargs)))
 
     def __call__(self, sequences, pad_to=None, interpret=False):
@@ -386,7 +398,7 @@ class Bucketed:
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def _pallas_fwd(P: int, Mp: int, Lp: int, S: int, Pc: int, interpret: bool):
+def _pallas_fwd(P: int, Mp: int, Lp: int, S: int, Pc: int, masked: bool, interpret: bool):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -404,7 +416,9 @@ def _pallas_fwd(P: int, Mp: int, Lp: int, S: int, Pc: int, interpret: bool):
 
         def shift1(a):
             rolled = pltpu.roll(a, shift=1, axis=1)
-            return jnp.where(first_lane, 0.0, rolled)
+            if masked:
+                return jnp.where(first_lane, 0.0, rolled)
+            return rolled
 
         tmm = tmm_ref[...]
         tim = tim_ref[...]
@@ -643,7 +657,13 @@ class PairForwardKernel:
             return numpy.zeros((S, pair_idx.shape[1]), dtype=numpy.float32)
         Lp = pad_to or _round_up(max(len(x) for x in sequences), 32)
         C0 = pair_idx.shape[1]
-        C = max(8, 1 << (C0 - 1).bit_length())
+        # survivor-row granularity: multiples of 16 up to 64 (the common
+        # range at F1=0.02), powers of two above — bounded compile count
+        # without padding a ~40-survivor row all the way to 64+
+        if C0 <= 64:
+            C = max(8, _round_up(C0, 16))
+        else:
+            C = 1 << (C0 - 1).bit_length()
         St = _round_up(S, 8) // 8
         St = 1 << (St - 1).bit_length()
         n = St * 8
@@ -688,14 +708,17 @@ class PairBucketed:
         self.buckets = []
         caps: Dict[int, List[int]] = {}
         for i, m in enumerate(bank.lengths):
-            caps.setdefault(_round_up(max(8, int(m)), lane), []).append(i)
+            # exclusive cap (M < cap), as in Bucketed: no lane-0 masking
+            caps.setdefault(_round_up(max(8, int(m) + 1), lane), []).append(i)
         # global index -> (bucket number, local row)
         self.local = numpy.zeros((bank.P, 2), dtype=numpy.int32)
         for b, cap in enumerate(sorted(caps)):
             idx = numpy.asarray(caps[cap], dtype=numpy.int64)
             self.local[idx, 0] = b
             self.local[idx, 1] = numpy.arange(len(idx), dtype=numpy.int32)
-            self.buckets.append((idx, PairForwardKernel(bank.select(idx, lane=lane))))
+            self.buckets.append(
+                (idx, PairForwardKernel(bank.select(idx, lane=lane, width=cap)))
+            )
 
     def __call__(self, sequences, survivors, pad_to=None, interpret=False):
         """Scores for surviving pairs: ``{(seq_index, profile): nats}``."""
@@ -734,6 +757,7 @@ class ForwardKernel:
         import jax.numpy as jnp
 
         self.bank = bank
+        self.masked = bool((bank.lengths >= bank.Mp).any())
         self.seq_tile = seq_tile
         self.Pc = min(profile_chunk, _round_up(bank.P, 8))
         self.P_pad = _round_up(bank.P, self.Pc)
@@ -776,7 +800,7 @@ class ForwardKernel:
             moves[i] = math.exp(move)
         fn = _pallas_fwd(
             self.P_pad, self.bank.Mp, Lp, self.seq_tile, self.Pc,
-            _auto_interpret(interpret),
+            self.masked, _auto_interpret(interpret),
         )
         out = fn(
             jnp.asarray(xs.reshape(St, self.seq_tile, Lp)),
