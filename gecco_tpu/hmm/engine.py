@@ -44,6 +44,37 @@ def _logsumexp2(a, b):
     return numpy.logaddexp(a, b)
 
 
+#: stand-in for log(0) inside chain cumsums: far below the f64 underflow
+#: point of exp() yet small enough that the prefix-transform cancellation
+#: ``(v + BREAK) - BREAK`` keeps ~12 significant digits of ``v``
+_BREAK = -1.0e4
+
+
+def _chain_fwd(b: "numpy.ndarray", lt: "numpy.ndarray") -> "numpy.ndarray":
+    """Vectorized first-order log-space chain, forward direction.
+
+    Returns ``d`` with ``d[k] = LSE(b[k], lt[k-1] + d[k-1])`` for
+    ``k = 0..n-1`` (``d[-1] = -inf``), via the prefix transform
+    ``d = T + cumLSE(b - T)`` where ``T`` is the cumsum of ``lt``.
+    """
+    lt = numpy.where(numpy.isfinite(lt), lt, _BREAK)
+    T = numpy.concatenate(([0.0], numpy.cumsum(lt)))
+    return T + numpy.logaddexp.accumulate(b - T)
+
+
+def _chain_bwd(c: "numpy.ndarray", lt: "numpy.ndarray") -> "numpy.ndarray":
+    """Vectorized first-order log-space chain, backward direction.
+
+    Returns ``d`` with ``d[k] = LSE(c[k], lt[k] + d[k+1])`` for
+    ``k = n-1..0`` (``d[n] = -inf``).
+    """
+    lt = numpy.where(numpy.isfinite(lt), lt, _BREAK)
+    T = numpy.concatenate(([0.0], numpy.cumsum(lt)))  # T[k] = sum lt[:k]
+    with numpy.errstate(invalid="ignore"):
+        u = numpy.logaddexp.accumulate((c + T)[::-1])[::-1]
+    return u - T
+
+
 @dataclass
 class ForwardMatrices:
     M: "numpy.ndarray"  # [L+1, M+1]
@@ -99,12 +130,9 @@ def forward(gm: SearchProfile, x: "numpy.ndarray") -> ForwardMatrices:
         fI[i, 1:M] = _logsumexp2(
             prevM[1:M] + tmi[1:M], prevI[1:M] + tii[1:M]
         )
-        # delete: serial along k within the row
-        row_m = fM[i]
-        dprev = _NEG
-        for k in range(2, M + 1):
-            dprev = _logsumexp2(row_m[k - 1] + tmd[k - 1], dprev + tdd[k - 1])
-            fD[i, k] = dprev
+        # delete chain, vectorized: fD[k] = LSE(fM[k-1]+tmd[k-1], fD[k-1]+tdd[k-1])
+        if M > 1:
+            fD[i, 2:] = _chain_fwd(fM[i, 1:M] + tmd[1:M], tdd[2:M])
         # E: free local exits from every M_k and D_k (esc = 0)
         fE[i] = numpy.logaddexp.reduce(
             numpy.concatenate([fM[i, 1:], fD[i, 1:]])
@@ -141,13 +169,10 @@ def backward(gm: SearchProfile, x: "numpy.ndarray") -> ForwardMatrices:
     # row L
     bC[L] = move
     bE[L] = bC[L] + gm.move_e
-    # D along k right-to-left: D_k -> E | D_{k+1}
-    bD[L, M] = bE[L]
-    for k in range(M - 1, 0, -1):
-        bD[L, k] = _logsumexp2(bE[L], tdd[k] + bD[L, k + 1])
+    # D along k right-to-left: D_k -> E | D_{k+1} (vectorized chain)
+    bD[L, 1:] = _chain_bwd(numpy.full(M, bE[L]), tdd[1:M])
     bM[L, M] = bE[L]
-    for k in range(M - 1, 0, -1):
-        bM[L, k] = _logsumexp2(bE[L], tmd[k] + bD[L, k + 1])
+    bM[L, 1:M] = _logsumexp2(bE[L], tmd[1:M] + bD[L, 2:])
 
     for i in range(L - 1, -1, -1):
         en = e[i]  # emissions of row i+1
@@ -161,20 +186,16 @@ def backward(gm: SearchProfile, x: "numpy.ndarray") -> ForwardMatrices:
         bI[i, 1:M] = _logsumexp2(
             tim[1:M] + en[2:] + nextM[2:], tii[1:M] + nextI[1:M]
         )
-        # deletes: D_k -> E | D_{k+1} | M_{k+1}
-        bD[i, M] = bE[i]
-        for k in range(M - 1, 0, -1):
-            bD[i, k] = numpy.logaddexp.reduce(numpy.array([
-                bE[i], tdd[k] + bD[i, k + 1], tdm[k] + en[k + 1] + nextM[k + 1]
-            ]))
+        # deletes: D_k -> E | D_{k+1} | M_{k+1} (vectorized chain)
+        c = _logsumexp2(bE[i], tdm[1:M] + en[2:] + nextM[2:])
+        bD[i, 1:] = _chain_bwd(numpy.append(c, bE[i]), tdd[1:M])
         # matches: M_k -> E | M_{k+1} | I_k | D_{k+1}
-        for k in range(1, M):
-            bM[i, k] = numpy.logaddexp.reduce(numpy.array([
-                bE[i],
-                tmm[k] + en[k + 1] + nextM[k + 1],
-                tmi[k] + bI[i + 1, k],
-                tmd[k] + bD[i, k + 1],
-            ]))
+        bM[i, 1:M] = numpy.logaddexp.reduce(numpy.stack([
+            numpy.full(M - 1, bE[i]),
+            tmm[1:M] + en[2:] + nextM[2:],
+            tmi[1:M] + bI[i + 1, 1:M],
+            tmd[1:M] + bD[i, 2:],
+        ]), axis=0)
         bM[i, M] = bE[i]
 
     score = bN[0]
@@ -454,16 +475,30 @@ def _optimal_accuracy(
             useM = fromMi >= fromIi
             sI[r, 1:M] = ppi[1:M] + numpy.where(useM, fromMi, fromIi)
             bI[r, 1:M] = numpy.where(useM, 1, 2)
-        # deletes: same row, serial in k
-        for k in range(2, M + 1):
-            fromMd = sM[r, k - 1] if ok_md[k - 1] else NEG
-            fromDd = sD[r, k - 1] if ok_dd[k - 1] else NEG
-            if fromMd >= fromDd:
-                sD[r, k] = fromMd
-                bD[r, k] = 1
-            else:
-                sD[r, k] = fromDd
-                bD[r, k] = 3
+        # deletes: same row, a max-prefix recurrence in k
+        #   sD[k] = max(g[k], sD[k-1] if ok_dd[k-1])   with
+        #   g[k] = sM[k-1] if ok_md[k-1] else NEG
+        # vectorized as a running max over the contiguous ok_dd runs
+        # (one cummax when the delete chain is unbroken — the common
+        # local-profile case); ties keep the M origin like the serial
+        # `fromMd >= fromDd` comparison.
+        g = numpy.where(ok_md[1:M], sM[r, 1:M], NEG)     # g[k] for k=2..M
+        dd_ok = ok_dd[1:M]                                # gate sD[k-1] -> sD[k]
+        if dd_ok.all():
+            run = numpy.maximum.accumulate(g)
+            prev = numpy.concatenate(([NEG], run[:-1]))   # exclusive cummax
+            sD[r, 2:] = run
+            bD[r, 2:] = numpy.where(g >= prev, 1, 3)
+        else:
+            # a False gate at j means sD[j+2] takes no carry: j starts
+            # a new run
+            starts = numpy.unique(numpy.concatenate(([0], numpy.flatnonzero(~dd_ok))))
+            ends = numpy.append(starts[1:], len(g))
+            for s0, s1 in zip(starts, ends):
+                run = numpy.maximum.accumulate(g[s0:s1])
+                prev = numpy.concatenate(([NEG], run[:-1]))
+                sD[r, 2 + s0 : 2 + s1] = run
+                bD[r, 2 + s0 : 2 + s1] = numpy.where(g[s0:s1] >= prev, 1, 3)
 
     r_end, k_end = numpy.unravel_index(numpy.argmax(sM), sM.shape)
     r, k = int(r_end), int(k_end)
