@@ -515,7 +515,7 @@ def _pallas_pair_fwd(Mp: int, Lp: int, C: int, masked: bool, interpret: bool):
     n_doubling = int(math.log2(Mp))
     assert 1 << n_doubling == Mp, "Mp must be a power of two"
 
-    def kernel(xs_ref, lens_ref, loops_ref, moves_ref,
+    def kernel(xs_ref, starts_ref, ends_ref, loops_ref, moves_ref,
                e_ref, tmm_ref, tim_ref, tdm_ref, tmi_ref, tii_ref,
                tmd_ref, tdd_ref, bm_ref, out_ref):
         j = pl.program_id(1)
@@ -553,7 +553,8 @@ def _pallas_pair_fwd(Mp: int, Lp: int, C: int, masked: bool, interpret: bool):
                 shift *= 2
             return b
 
-        L = lens_ref[0, 0, j]
+        start = starts_ref[0, 0, j]
+        end = ends_ref[0, 0, j]
         loop = loops_ref[0, 0, j]
         move = moves_ref[0, 0, j]
 
@@ -579,12 +580,12 @@ def _pallas_pair_fwd(Mp: int, Lp: int, C: int, masked: bool, interpret: bool):
         zeros = jnp.zeros((C, Mp), jnp.float32)
         z1 = jnp.zeros((C, 1), jnp.float32)
         carry = jax.lax.fori_loop(
-            0, L, step, (zeros, zeros, zeros, z1 + 1.0, z1 + move, z1, z1, z1)
+            start, end, step, (zeros, zeros, zeros, z1 + 1.0, z1 + move, z1, z1, z1)
         )
         C_final, logscale = carry[6], carry[7]
         out_ref[0, j, :] = (jnp.log(C_final * move + 1e-38) + logscale)[:, 0]
 
-    def run(xs, lens, loops, moves, idx, e_odds, *trans):
+    def run(xs, starts, ends, loops, moves, idx, e_odds, *trans):
         St = xs.shape[0]
         S = St * 8
         # device-side gather: each sequence's survivor rows, fixed [C]
@@ -603,6 +604,7 @@ def _pallas_pair_fwd(Mp: int, Lp: int, C: int, masked: bool, interpret: bool):
                 pl.BlockSpec((1, 1, 8), lambda t, j: (t, 0, 0), memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1, 8), lambda t, j: (t, 0, 0), memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1, 8), lambda t, j: (t, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 8), lambda t, j: (t, 0, 0), memory_space=pltpu.SMEM),
                 pl.BlockSpec((21, 1, C, Mp), lambda t, j: (0, t * 8 + j, 0, 0),
                              memory_space=pltpu.VMEM),
                 *trans_specs,
@@ -611,7 +613,7 @@ def _pallas_pair_fwd(Mp: int, Lp: int, C: int, masked: bool, interpret: bool):
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((St, 8, C), jnp.float32),
             interpret=interpret,
-        )(xs, lens, loops, moves, e_g, *trans_g)
+        )(xs, starts, ends, loops, moves, e_g, *trans_g)
         return out.reshape(S, C)
 
     return jax.jit(run)
@@ -642,13 +644,16 @@ class PairForwardKernel:
             bank.tmd, bank.tdd, bank.bm,
         ))
 
-    def __call__(self, sequences, pair_idx, pad_to=None, interpret=False):
+    def __call__(self, sequences, pair_idx, pad_to=None, interpret=False, ranges=None):
         """Forward scores (nats) for chosen pairs.
 
         ``pair_idx`` — ``[S, C0]`` int32, row ``s`` holding the profile
         rows to score against sequence ``s`` (padded with any valid
         index; padded cells are computed but meant to be discarded).
-        Returns ``[S, C0]`` float32.
+        ``ranges`` — optional ``[S, 2]`` int32 of 0-based half-open
+        residue windows; the DP then scores only ``x[start:end]`` under
+        the full-length model (HMMER's envelope rescore).  Returns
+        ``[S, C0]`` float32.
         """
         import jax.numpy as jnp
 
@@ -668,13 +673,17 @@ class PairForwardKernel:
         St = 1 << (St - 1).bit_length()
         n = St * 8
         xs = numpy.zeros((n, Lp), dtype=numpy.int32)
-        lens = numpy.zeros(n, dtype=numpy.int32)
+        starts = numpy.zeros(n, dtype=numpy.int32)
+        ends = numpy.zeros(n, dtype=numpy.int32)
         loops = numpy.zeros(n, dtype=numpy.float32)
         moves = numpy.full(n, 0.5, dtype=numpy.float32)
         for i, x in enumerate(sequences):
             L = len(x)
             xs[i, :L] = x
-            lens[i] = L
+            if ranges is not None:
+                starts[i], ends[i] = int(ranges[i][0]), int(ranges[i][1])
+            else:
+                ends[i] = L
             loop, move = length_model(L)
             loops[i] = math.exp(loop)
             moves[i] = math.exp(move)
@@ -685,13 +694,805 @@ class PairForwardKernel:
         )
         out = fn(
             jnp.asarray(xs.reshape(St, 8, Lp)),
-            jnp.asarray(lens.reshape(St, 1, 8)),
+            jnp.asarray(starts.reshape(St, 1, 8)),
+            jnp.asarray(ends.reshape(St, 1, 8)),
             jnp.asarray(loops.reshape(St, 1, 8)),
             jnp.asarray(moves.reshape(St, 1, 8)),
             jnp.asarray(idx),
             self.e_odds, *self.trans,
         )
         return numpy.asarray(out)[:S, :C0]
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_pair_posterior(Mp: int, Lp: int, C: int, masked: bool, interpret: bool):
+    """Pair-dense Forward+Backward with posterior state trajectories.
+
+    Per (sequence, profile) pair, outputs what HMMER's domain-definition
+    heuristics need *before* envelopes are known (``p7_domaindef``
+    region finding): the full-sequence Forward score and, per position,
+    ``mocc`` (P(homologous)), ``pB`` and ``pE`` (B/E usage posteriors).
+    Forward scalar-state trajectories are recorded in VMEM scratch on
+    the way out; the Backward pass re-walks the sequence combining them
+    into the posteriors on the fly — no DP matrix ever leaves the chip.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_doubling = int(math.log2(Mp))
+
+    def kernel(xs_ref, lens_ref, loops_ref, moves_ref,
+               e_ref, tmm_ref, tim_ref, tdm_ref, tmi_ref, tii_ref,
+               tmd_ref, tdd_ref, bm_ref,
+               score_ref, mocc_ref, pb_ref, pe_ref,
+               fN_s, fB_s, fJ_s, fC_s, fE_s, mocc_s, pb_s, pe_s):
+        j = pl.program_id(1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (C, Mp), dimension=1)
+        first_lane = lane == 0
+
+        def shiftR(a):  # node k-1 -> k
+            rolled = pltpu.roll(a, shift=1, axis=1)
+            if masked:
+                return jnp.where(first_lane, 0.0, rolled)
+            return rolled
+
+        def shiftL(a):  # node k+1 -> k  (left roll = right roll by Mp-1)
+            rolled = pltpu.roll(a, shift=Mp - 1, axis=1)
+            if masked:
+                return jnp.where(lane == Mp - 1, 0.0, rolled)
+            return rolled
+
+        tmm = tmm_ref[0]
+        tim = tim_ref[0]
+        tdm = tdm_ref[0]
+        tmi = tmi_ref[0]
+        tii = tii_ref[0]
+        tmd = tmd_ref[0]
+        tdd = tdd_ref[0]
+        bm = bm_ref[0]
+        nm = e_ref[20, 0]  # degenerate-residue odds: 1 at real nodes, 0 at pads
+        tdd_shifted = shiftR(tdd)
+
+        def dchain_fwd(m_new):
+            a = tdd_shifted
+            b = shiftR(m_new * tmd)
+            shift = 1
+            for _ in range(n_doubling):
+                rolled_a = pltpu.roll(a, shift=shift, axis=1)
+                rolled_b = pltpu.roll(b, shift=shift, axis=1)
+                mask = lane >= shift
+                b = jnp.where(mask, rolled_b, 0.0) * a + b
+                a = jnp.where(mask, rolled_a, 1.0) * a
+                shift *= 2
+            return b
+
+        def dchain_bwd(c):
+            # d[k] = c[k] + tdd[k] * d[k+1]
+            a = tdd
+            b = c
+            shift = 1
+            for _ in range(n_doubling):
+                rolled_a = pltpu.roll(a, shift=Mp - shift, axis=1)
+                rolled_b = pltpu.roll(b, shift=Mp - shift, axis=1)
+                mask = lane < Mp - shift
+                b = b + a * jnp.where(mask, rolled_b, 0.0)
+                a = a * jnp.where(mask, rolled_a, 1.0)
+                shift *= 2
+            return b
+
+        L = lens_ref[0, 0, j]
+        loop = loops_ref[0, 0, j]
+        move = moves_ref[0, 0, j]
+        log_loop = jnp.log(loop)
+
+        # ---- pass A: forward, recording log scalar-state trajectories
+        def fstep(i, carry):
+            M, I, D, N, B, J, Cc, logscale = carry
+            xi = xs_ref[0, j, i]
+            e = e_ref[xi, 0]
+            stay = shiftR(M * tmm + I * tim + D * tdm)
+            Mn = e * (stay + B * bm)
+            In = M * tmi + I * tii
+            Dn = dchain_fwd(Mn)
+            E = jnp.sum(Mn + Dn, axis=1, keepdims=True)
+            Jn = J * loop + E * 0.5
+            Cn = Cc * loop + E * 0.5
+            Nn = N * loop
+            Bn = (Nn + Jn) * move
+            total = E + Bn + Nn + Cn + 1e-30
+            inv = 1.0 / total
+            ls = logscale + jnp.log(total)
+            tiny = 1e-38
+            fN_s[i, :] = (jnp.log(Nn * inv + tiny) + ls)[:, 0]
+            fB_s[i, :] = (jnp.log(Bn * inv + tiny) + ls)[:, 0]
+            fJ_s[i, :] = (jnp.log(Jn * inv + tiny) + ls)[:, 0]
+            fC_s[i, :] = (jnp.log(Cn * inv + tiny) + ls)[:, 0]
+            fE_s[i, :] = (jnp.log(E * inv + tiny) + ls)[:, 0]
+            return (Mn * inv, In * inv, Dn * inv,
+                    Nn * inv, Bn * inv, Jn * inv, Cn * inv, ls)
+
+        zeros = jnp.zeros((C, Mp), jnp.float32)
+        z1 = jnp.zeros((C, 1), jnp.float32)
+        carry = jax.lax.fori_loop(
+            0, L, fstep, (zeros, zeros, zeros, z1 + 1.0, z1 + move, z1, z1, z1)
+        )
+        total_log = jnp.log(carry[6] * move + 1e-38) + carry[7]  # [C, 1]
+        score_ref[0, j, :] = total_log[:, 0]
+
+        # ---- pass B: backward, combining into posterior trajectories
+        log_move = jnp.log(move)
+        init_fN = jnp.zeros((C, 1), jnp.float32)          # log 1
+        init_fB = jnp.zeros((C, 1), jnp.float32) + log_move
+        init_fJ = jnp.full((C, 1), NEG, jnp.float32)
+        init_fC = jnp.full((C, 1), NEG, jnp.float32)
+
+        def emit(o, bN_log, bB_log, bJ_log, bC_log, bE_log):
+            """Write mocc/pB/pE for output index o (engine row o+1)."""
+            prev_fN = jnp.where(o == 0, init_fN, fN_s[jnp.maximum(o - 1, 0), :][:, None])
+            prev_fJ = jnp.where(o == 0, init_fJ, fJ_s[jnp.maximum(o - 1, 0), :][:, None])
+            prev_fC = jnp.where(o == 0, init_fC, fC_s[jnp.maximum(o - 1, 0), :][:, None])
+            ppN = jnp.exp(prev_fN + log_loop + bN_log - total_log)
+            ppJ = jnp.exp(prev_fJ + log_loop + bJ_log - total_log)
+            ppC = jnp.exp(prev_fC + log_loop + bC_log - total_log)
+            mocc = jnp.clip(1.0 - (ppN + ppJ + ppC), 0.0, 1.0)
+            pB = jnp.exp(fB_s[o, :][:, None] + bB_log - total_log)
+            pE = jnp.exp(fE_s[o, :][:, None] + bE_log - total_log)
+            mocc_s[o, :] = mocc[:, 0]
+            pb_s[o, :] = pB[:, 0]
+            pe_s[o, :] = pE[:, 0]
+
+        # row L init (engine backward row L)
+        bC0 = move
+        bE0 = bC0 * 0.5
+        bD_L = dchain_bwd(nm * bE0)
+        bM_L = nm * bE0 + tmd * shiftL(bD_L)
+        emit(L - 1,
+             jnp.full((C, 1), NEG, jnp.float32),
+             jnp.full((C, 1), NEG, jnp.float32),
+             jnp.full((C, 1), NEG, jnp.float32),
+             jnp.zeros((C, 1), jnp.float32) + log_move,
+             jnp.zeros((C, 1), jnp.float32) + log_move + math.log(0.5))
+
+        def bstep(t, carry):
+            bM, bI, bN, bB, bJ, bCs, logscale = carry
+            row = L - t  # engine row index being computed
+            xi = xs_ref[0, j, row]  # residue row+1 (0-based index row)
+            e_next = e_ref[xi, 0]
+            q = shiftL(e_next * bM)            # e_{i+1}[k+1] * bM[i+1, k+1]
+            bBn = jnp.sum(bm * e_next * bM, axis=1, keepdims=True)
+            bJn = loop * bJ + move * bBn
+            bCn = loop * bCs
+            bNn = loop * bN + move * bBn
+            bEn = 0.5 * bJn + 0.5 * bCn
+            bIn = tim * q + tii * bI
+            bDn = dchain_bwd(nm * bEn + tdm * q)
+            bMn = nm * bEn + tmm * q + tmi * bI + tmd * shiftL(bDn)
+            scale = bNn + bJn + bCn + bBn + 1e-30
+            inv = 1.0 / scale
+            ls = logscale + jnp.log(scale)
+            tiny = 1e-38
+            emit(row - 1,
+                 jnp.log(bNn * inv + tiny) + ls,
+                 jnp.log(bBn * inv + tiny) + ls,
+                 jnp.log(bJn * inv + tiny) + ls,
+                 jnp.log(bCn * inv + tiny) + ls,
+                 jnp.log(bEn * inv + tiny) + ls)
+            return (bMn * inv, bIn * inv, bNn * inv, bBn * inv,
+                    bJn * inv, bCn * inv, ls)
+
+        jax.lax.fori_loop(1, L, bstep, (
+            bM_L, zeros, z1, z1, z1, z1 + move, z1,
+        ))
+
+        # transpose the (Lp, C) trajectory scratches into the outputs
+        mocc_ref[0, 0] = mocc_s[...].T
+        pb_ref[0, 0] = pb_s[...].T
+        pe_ref[0, 0] = pe_s[...].T
+
+    def run(xs, lens, loops, moves, idx, e_odds, *trans):
+        St = xs.shape[0]
+        S = St * 8
+        e_g = e_odds[:, idx, :]
+        trans_g = [t[idx] for t in trans]
+        trans_specs = [
+            pl.BlockSpec((1, C, Mp), lambda t, j: (t * 8 + j, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(8)
+        ]
+        vec_spec = pl.BlockSpec((1, 1, C, Lp), lambda t, j: (t, j, 0, 0),
+                                memory_space=pltpu.VMEM)
+        score, mocc, pb, pe = pl.pallas_call(
+            kernel,
+            grid=(St, 8),
+            in_specs=[
+                pl.BlockSpec((1, 8, Lp), lambda t, j: (t, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 8), lambda t, j: (t, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 8), lambda t, j: (t, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 8), lambda t, j: (t, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((21, 1, C, Mp), lambda t, j: (0, t * 8 + j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                *trans_specs,
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 8, C), lambda t, j: (t, 0, 0), memory_space=pltpu.VMEM),
+                vec_spec, vec_spec, vec_spec,
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((St, 8, C), jnp.float32),
+                jax.ShapeDtypeStruct((St, 8, C, Lp), jnp.float32),
+                jax.ShapeDtypeStruct((St, 8, C, Lp), jnp.float32),
+                jax.ShapeDtypeStruct((St, 8, C, Lp), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((Lp, C), jnp.float32),   # fN
+                pltpu.VMEM((Lp, C), jnp.float32),   # fB
+                pltpu.VMEM((Lp, C), jnp.float32),   # fJ
+                pltpu.VMEM((Lp, C), jnp.float32),   # fC
+                pltpu.VMEM((Lp, C), jnp.float32),   # fE
+                pltpu.VMEM((Lp, C), jnp.float32),   # mocc rows
+                pltpu.VMEM((Lp, C), jnp.float32),   # pB rows
+                pltpu.VMEM((Lp, C), jnp.float32),   # pE rows
+            ],
+            interpret=interpret,
+        )(xs, lens, loops, moves, e_g, *trans_g)
+        return (score.reshape(S, C), mocc.reshape(S, C, Lp),
+                pb.reshape(S, C, Lp), pe.reshape(S, C, Lp))
+
+    return jax.jit(run)
+
+
+class PairPosteriorKernel:
+    """Pair-dense posterior trajectories for domain definition (stage 3a).
+
+    Same gather layout as :class:`PairForwardKernel`; returns, per pair,
+    the Forward score plus the ``mocc``/``pB``/``pE`` position vectors
+    that drive HMMER-style region finding (``engine.posterior_decode`` /
+    ``engine._find_regions`` semantics, f32).
+    """
+
+    def __init__(self, bank: ProfileBank):
+        import jax.numpy as jnp
+
+        self.bank = bank
+        self.masked = bool((bank.lengths >= bank.Mp).any())
+        self.e_odds = jnp.asarray(bank.e_odds)
+        self.trans = tuple(jnp.asarray(a) for a in (
+            bank.tmm, bank.tim, bank.tdm, bank.tmi, bank.tii,
+            bank.tmd, bank.tdd, bank.bm,
+        ))
+
+    def __call__(self, sequences, pair_idx, pad_to=None, interpret=False):
+        import jax.numpy as jnp
+
+        S = len(sequences)
+        C0 = pair_idx.shape[1] if S else 0
+        if S == 0 or C0 == 0:
+            z = numpy.zeros((S, C0), dtype=numpy.float32)
+            return z, z[:, :, None], z[:, :, None], z[:, :, None]
+        Lp = pad_to or _round_up(max(len(x) for x in sequences), 32)
+        C = max(8, _round_up(C0, 8))
+        St = _round_up(S, 8) // 8
+        St = 1 << (St - 1).bit_length()
+        n = St * 8
+        xs = numpy.zeros((n, Lp), dtype=numpy.int32)
+        lens = numpy.ones(n, dtype=numpy.int32)
+        loops = numpy.full(n, 0.5, dtype=numpy.float32)
+        moves = numpy.full(n, 0.5, dtype=numpy.float32)
+        for i, x in enumerate(sequences):
+            L = len(x)
+            xs[i, :L] = x
+            lens[i] = max(L, 1)
+            loop, move = length_model(L)
+            loops[i] = math.exp(loop)
+            moves[i] = math.exp(move)
+        idx = numpy.zeros((n, C), dtype=numpy.int32)
+        idx[:S, :C0] = pair_idx
+        fn = _pallas_pair_posterior(
+            self.bank.Mp, Lp, C, self.masked, _auto_interpret(interpret)
+        )
+        score, mocc, pb, pe = fn(
+            jnp.asarray(xs.reshape(St, 8, Lp)),
+            jnp.asarray(lens.reshape(St, 1, 8)),
+            jnp.asarray(loops.reshape(St, 1, 8)),
+            jnp.asarray(moves.reshape(St, 1, 8)),
+            jnp.asarray(idx),
+            self.e_odds, *self.trans,
+        )
+        return (numpy.asarray(score)[:S, :C0],
+                numpy.asarray(mocc)[:S, :C0],
+                numpy.asarray(pb)[:S, :C0],
+                numpy.asarray(pe)[:S, :C0])
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_pair_align(Mp: int, Lp: int, C: int, masked: bool, interpret: bool):
+    """Per-envelope scoring and alignment (stage 3b), one sequence/cell.
+
+    For up to ``C`` envelopes of one sequence (each row: its own profile
+    and ``[ienv, jenv]`` window), computes in one kernel:
+
+    * the envelope Forward rescore (fresh DP over ``x[ienv..jenv]``);
+    * null2 occupancies: per-node match posterior mass over the
+      envelope (``matocc``), total insert mass, total non-homology mass;
+    * optimal-accuracy alignment coordinates — the posterior-max local
+      path's endpoints, recovered WITHOUT traceback by propagating the
+      path's start coordinates through the max DP as payload planes.
+
+    The Backward pass runs first, parking its match/insert planes in a
+    VMEM scratch ring (bf16, ``[Lp, C, Mp]``); the Forward pass then
+    combines them into posterior rows on the fly.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_doubling = int(math.log2(Mp))
+    BIG = 1e9
+
+    def kernel(xs_ref, lens_ref, loops_ref, moves_ref, ienv_ref, jenv_ref,
+               total_ref,
+               e_ref, tmm_ref, tim_ref, tdm_ref, tmi_ref, tii_ref,
+               tmd_ref, tdd_ref, bm_ref,
+               envsc_ref, matocc_ref, insocc_ref, xocc_ref,
+               tf_ref, tt_ref, hf_ref, ht_ref,
+               bM_s, bI_s, blog_s, bN_s, bJ_s, bC_s):
+        j = pl.program_id(1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (C, Mp), dimension=1)
+        first_lane = lane == 0
+        lane_f = lane.astype(jnp.float32)
+
+        def shiftR(a):
+            rolled = pltpu.roll(a, shift=1, axis=1)
+            if masked:
+                return jnp.where(first_lane, 0.0, rolled)
+            return rolled
+
+        def shiftL(a):
+            rolled = pltpu.roll(a, shift=Mp - 1, axis=1)
+            if masked:
+                return jnp.where(lane == Mp - 1, 0.0, rolled)
+            return rolled
+
+        def shiftR_neg(a):
+            """NEG-space node shift for the OA planes (pads hold NEG)."""
+            rolled = pltpu.roll(a, shift=1, axis=1)
+            return jnp.where(first_lane, NEG, rolled)
+
+        tmm = tmm_ref[0]
+        tim = tim_ref[0]
+        tdm = tdm_ref[0]
+        tmi = tmi_ref[0]
+        tii = tii_ref[0]
+        tmd = tmd_ref[0]
+        tdd = tdd_ref[0]
+        bm = bm_ref[0]
+        nm = e_ref[20, 0]           # 1 at real nodes, 0 at pads
+        node_neg = jnp.where(nm > 0, 0.0, NEG)
+        # transition-existence gates for the OA path (additive NEG gates)
+        g_mm = jnp.where(tmm > 0, 0.0, NEG)
+        g_im = jnp.where(tim > 0, 0.0, NEG)
+        g_dm = jnp.where(tdm > 0, 0.0, NEG)
+        g_mi = jnp.where(tmi > 0, 0.0, NEG)
+        g_ii = jnp.where(tii > 0, 0.0, NEG)
+        g_md = jnp.where(tmd > 0, 0.0, NEG)
+        g_dd = jnp.where(tdd > 0, 0.0, NEG)
+        tdd_shifted = shiftR(tdd)
+
+        def dchain_fwd(m_new):
+            a = tdd_shifted
+            b = shiftR(m_new * tmd)
+            shift = 1
+            for _ in range(n_doubling):
+                rolled_a = pltpu.roll(a, shift=shift, axis=1)
+                rolled_b = pltpu.roll(b, shift=shift, axis=1)
+                mask = lane >= shift
+                b = jnp.where(mask, rolled_b, 0.0) * a + b
+                a = jnp.where(mask, rolled_a, 1.0) * a
+                shift *= 2
+            return b
+
+        def dchain_bwd(c):
+            a = tdd
+            b = c
+            shift = 1
+            for _ in range(n_doubling):
+                rolled_a = pltpu.roll(a, shift=Mp - shift, axis=1)
+                rolled_b = pltpu.roll(b, shift=Mp - shift, axis=1)
+                mask = lane < Mp - shift
+                b = b + a * jnp.where(mask, rolled_b, 0.0)
+                a = a * jnp.where(mask, rolled_a, 1.0)
+                shift *= 2
+            return b
+
+        L = lens_ref[0, 0, j]
+        loop = loops_ref[0, 0, j]
+        move = moves_ref[0, 0, j]
+        total_log = total_ref[0, j, :][:, None]          # [C, 1] full-seq fwd
+        iv = ienv_ref[0, j, :][:, None]                  # [C, 1] 1-based, f32
+        jv = jenv_ref[0, j, :][:, None]
+        # envelope rescore length model: p7_ReconfigLength over Ld
+        Ld = jnp.maximum(jv - iv + 1.0, 1.0)
+        eloop = Ld / (Ld + 3.0)
+        emove = 3.0 / (Ld + 3.0)
+
+        zeros = jnp.zeros((C, Mp), jnp.float32)
+        negs = jnp.full((C, Mp), NEG, jnp.float32)
+        z1 = jnp.zeros((C, 1), jnp.float32)
+
+        # ---- pass 1: backward, parking match/insert planes per row
+        bC0 = move
+        bE0 = bC0 * 0.5
+        bD_L = dchain_bwd(nm * bE0)
+        bM_L = nm * bE0 + tmd * shiftL(bD_L)
+        bM_s[L - 1] = bM_L.astype(jnp.bfloat16)
+        bI_s[L - 1] = jnp.zeros((C, Mp), jnp.bfloat16)
+        blog_s[L - 1, :] = z1[:, 0]
+        bN_s[L - 1, :] = z1[:, 0] + NEG
+        bJ_s[L - 1, :] = z1[:, 0] + NEG
+        bC_s[L - 1, :] = z1[:, 0] + jnp.log(move)
+
+        def bstep(t, carry):
+            bM, bI, bN, bB, bJ, bCs, logscale = carry
+            row = L - t
+            xi = xs_ref[0, j, row]
+            e_next = e_ref[xi, 0]
+            q = shiftL(e_next * bM)
+            bBn = jnp.sum(bm * e_next * bM, axis=1, keepdims=True)
+            bJn = loop * bJ + move * bBn
+            bCn = loop * bCs
+            bNn = loop * bN + move * bBn
+            bEn = 0.5 * bJn + 0.5 * bCn
+            bIn = tim * q + tii * bI
+            bDn = dchain_bwd(nm * bEn + tdm * q)
+            bMn = nm * bEn + tmm * q + tmi * bI + tmd * shiftL(bDn)
+            scale = bNn + bJn + bCn + bBn + 1e-30
+            inv = 1.0 / scale
+            ls = logscale + jnp.log(scale)
+            tiny = 1e-38
+            o = row - 1
+            bM_s[o] = (bMn * inv).astype(jnp.bfloat16)
+            bI_s[o] = (bIn * inv).astype(jnp.bfloat16)
+            blog_s[o, :] = ls[:, 0]
+            bN_s[o, :] = (jnp.log(bNn * inv + tiny) + ls)[:, 0]
+            bJ_s[o, :] = (jnp.log(bJn * inv + tiny) + ls)[:, 0]
+            bC_s[o, :] = (jnp.log(bCn * inv + tiny) + ls)[:, 0]
+            return (bMn * inv, bIn * inv, bNn * inv, bBn * inv,
+                    bJn * inv, bCn * inv, ls)
+
+        jax.lax.fori_loop(1, L, bstep, (bM_L, zeros, z1, z1, z1, z1 + move, z1))
+
+        # ---- pass 2: forward + posteriors + envelope DP + OA
+        log_loop = jnp.log(loop)
+
+        def fstep(i0, carry):
+            (M, I, D, N, B, J, Cc, lsf,
+             eM, eI, eD, eN, eB, eJ, eC, elog,
+             sM, sI, sD, siM, skM, siI, skI, siD, skD,
+             best, b_tf, b_tt, b_hf, b_ht,
+             matocc, insocc, xocc) = carry
+            i = i0 + 1  # engine row (1-based residue index)
+            i_row = jnp.float32(0) + i
+            xi = xs_ref[0, j, i0]
+            e = e_ref[xi, 0]
+            in_env = jnp.logical_and(i_row >= iv, i_row <= jv)  # [C, 1]
+            in_envf = in_env.astype(jnp.float32)
+
+            # -- full-sequence forward step
+            stay = shiftR(M * tmm + I * tim + D * tdm)
+            Mn = e * (stay + B * bm)
+            In = M * tmi + I * tii
+            Dn = dchain_fwd(Mn)
+            E = jnp.sum(Mn + Dn, axis=1, keepdims=True)
+            Jn = J * loop + E * 0.5
+            Cn = Cc * loop + E * 0.5
+            Nn = N * loop
+            Bn = (Nn + Jn) * move
+            total = E + Bn + Nn + Cn + 1e-30
+            inv = 1.0 / total
+            lsf_n = lsf + jnp.log(total)
+            prev_fN, prev_fJ, prev_fC = N, J, Cc  # probs, scale lsf
+
+            # -- posterior rows (scale factors fold the rescaling away)
+            pscale = jnp.exp(lsf_n + blog_s[i0, :][:, None] - total_log)
+            ppM = (Mn * inv) * bM_s[i0].astype(jnp.float32) * pscale
+            ppI = (In * inv) * bI_s[i0].astype(jnp.float32) * pscale
+            matocc = matocc + ppM * in_envf
+            insocc = insocc + ppI * in_envf
+            # non-homology mass 1 - mocc from the scalar trajectories
+            tiny = 1e-38
+            ppN = jnp.exp(jnp.log(prev_fN + tiny) + lsf + log_loop
+                          + bN_s[i0, :][:, None] - total_log)
+            ppJ = jnp.exp(jnp.log(prev_fJ + tiny) + lsf + log_loop
+                          + bJ_s[i0, :][:, None] - total_log)
+            ppC = jnp.exp(jnp.log(prev_fC + tiny) + lsf + log_loop
+                          + bC_s[i0, :][:, None] - total_log)
+            xocc = xocc + jnp.clip(ppN + ppJ + ppC, 0.0, 1.0) * in_envf
+
+            # -- envelope forward rescore (fresh DP gated to the window)
+            estay = shiftR(eM * tmm + eI * tim + eD * tdm)
+            eMn = e * (estay + eB * bm)
+            eIn = eM * tmi + eI * tii
+            eDn = dchain_fwd(eMn)
+            eE = jnp.sum(eMn + eDn, axis=1, keepdims=True)
+            eJn = eJ * eloop + eE * 0.5
+            eCn = eC * eloop + eE * 0.5
+            eNn = eN * eloop
+            eBn = (eNn + eJn) * emove
+            etot = eE + eBn + eNn + eCn + 1e-30
+            einv = 1.0 / etot
+            eM = jnp.where(in_env, eMn * einv, eM)
+            eI = jnp.where(in_env, eIn * einv, eI)
+            eD = jnp.where(in_env, eDn * einv, eD)
+            eN = jnp.where(in_env, eNn * einv, eN)
+            eB = jnp.where(in_env, eBn * einv, eB)
+            eJ = jnp.where(in_env, eJn * einv, eJ)
+            eC = jnp.where(in_env, eCn * einv, eC)
+            elog = jnp.where(in_env, elog + jnp.log(etot), elog)
+
+            # -- optimal-accuracy DP with endpoint payloads
+            i_f = jnp.float32(0) + i  # traced scalar
+            fromM = shiftR_neg(sM + g_mm)
+            fromI = shiftR_neg(sI + g_im)
+            fromD = shiftR_neg(sD + g_dm)
+            pM = jnp.maximum(fromM, jnp.maximum(fromI, fromD))
+            entry = pM <= 0.0       # 0 >= best_prev: entry wins ties (host stack order)
+            # payload of the winning predecessor (M > I > D on ties)
+            useM = fromM >= pM
+            useI = jnp.logical_and(~useM, fromI >= pM)
+            si_prev = jnp.where(useM, shiftR_neg(siM),
+                                jnp.where(useI, shiftR_neg(siI), shiftR_neg(siD)))
+            sk_prev = jnp.where(useM, shiftR_neg(skM),
+                                jnp.where(useI, shiftR_neg(skI), shiftR_neg(skD)))
+            sMn = node_neg + ppM + jnp.maximum(pM, 0.0)
+            siMn = jnp.where(entry, i_f, si_prev)
+            skMn = jnp.where(entry, lane_f + 1.0, sk_prev)
+            # inserts: from M or I at same node, previous row
+            fromMi = sM + g_mi
+            fromIi = sI + g_ii
+            useMi = fromMi >= fromIi
+            sIn = node_neg + ppI + jnp.maximum(fromMi, fromIi)
+            siIn = jnp.where(useMi, siM, siI)
+            skIn = jnp.where(useMi, skM, skI)
+            # deletes: in-row max chain with payloads (doubling scan)
+            dsc = shiftR_neg(sMn + g_md)
+            dsi = shiftR_neg(siMn)
+            dsk = shiftR_neg(skMn)
+            gate = shiftR_neg(g_dd)  # gate[k] = ok_dd[k-1] as additive 0/NEG
+            shift = 1
+            for _ in range(n_doubling):
+                r_sc = pltpu.roll(dsc, shift=shift, axis=1)
+                r_si = pltpu.roll(dsi, shift=shift, axis=1)
+                r_sk = pltpu.roll(dsk, shift=shift, axis=1)
+                r_g = pltpu.roll(gate, shift=shift, axis=1)
+                mask = lane >= shift
+                cand = jnp.where(mask, r_sc, NEG) + gate
+                take = cand > dsc
+                dsc = jnp.where(take, cand, dsc)
+                dsi = jnp.where(take, r_si, dsi)
+                dsk = jnp.where(take, r_sk, dsk)
+                gate = gate + jnp.where(mask, r_g, 0.0)
+                shift *= 2
+            sDn, siDn, skDn = dsc, dsi, dsk
+
+            # freeze OA planes outside the envelope window
+            sM = jnp.where(in_env, sMn, sM)
+            sI = jnp.where(in_env, sIn, sI)
+            sD = jnp.where(in_env, sDn, sD)
+            siM = jnp.where(in_env, siMn, siM)
+            skM = jnp.where(in_env, skMn, skM)
+            siI = jnp.where(in_env, siIn, siI)
+            skI = jnp.where(in_env, skIn, skI)
+            siD = jnp.where(in_env, siDn, siD)
+            skD = jnp.where(in_env, skDn, skD)
+
+            # running best end cell (strict > keeps the earliest row/lane)
+            rowmax = jnp.max(sM, axis=1, keepdims=True)
+            upd = jnp.logical_and(in_env, rowmax > best)
+            at_max = sM == rowmax
+            k_end = jnp.min(jnp.where(at_max, lane_f, BIG), axis=1, keepdims=True)
+            sel = lane_f[...] == k_end
+            si_at = jnp.max(jnp.where(sel, siM, -BIG), axis=1, keepdims=True)
+            sk_at = jnp.max(jnp.where(sel, skM, -BIG), axis=1, keepdims=True)
+            best = jnp.where(upd, rowmax, best)
+            b_tf = jnp.where(upd, si_at, b_tf)
+            b_tt = jnp.where(upd, i_f + jnp.zeros_like(best), b_tt)
+            b_hf = jnp.where(upd, sk_at, b_hf)
+            b_ht = jnp.where(upd, k_end + 1.0, b_ht)
+
+            # advance full-seq forward carry
+            return (Mn * inv, In * inv, Dn * inv, Nn * inv, Bn * inv,
+                    Jn * inv, Cn * inv, lsf_n,
+                    eM, eI, eD, eN, eB, eJ, eC, elog,
+                    sM, sI, sD, siM, skM, siI, skI, siD, skD,
+                    best, b_tf, b_tt, b_hf, b_ht,
+                    matocc, insocc, xocc)
+
+        init = (zeros, zeros, zeros, z1 + 1.0, z1 + move, z1, z1, z1,
+                zeros, zeros, zeros, z1 + 1.0, z1 * 0.0 + emove, z1, z1, z1,
+                negs, negs, negs, negs, negs, negs, negs, negs, negs,
+                z1 + NEG, z1, z1, z1, z1,
+                zeros, zeros, z1)
+        out = jax.lax.fori_loop(0, L, fstep, init)
+        eC_f, elog_f = out[14], out[15]
+        envsc_ref[0, j, :] = (jnp.log(eC_f * emove + 1e-38) + elog_f)[:, 0]
+        matocc_ref[0, 0] = out[30]
+        insocc_ref[0, j, :] = jnp.sum(out[31], axis=1)
+        xocc_ref[0, j, :] = out[32][:, 0]
+        tf_ref[0, j, :] = out[26][:, 0]
+        tt_ref[0, j, :] = out[27][:, 0]
+        hf_ref[0, j, :] = out[28][:, 0]
+        ht_ref[0, j, :] = out[29][:, 0]
+
+    def run(xs, lens, loops, moves, ienv, jenv, totals, idx, e_odds, *trans):
+        St = xs.shape[0]
+        S = St * 8
+        e_g = e_odds[:, idx, :]
+        trans_g = [t[idx] for t in trans]
+        trans_specs = [
+            pl.BlockSpec((1, C, Mp), lambda t, j: (t * 8 + j, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(8)
+        ]
+        out_c = pl.BlockSpec((1, 8, C), lambda t, j: (t, 0, 0), memory_space=pltpu.VMEM)
+        outs = pl.pallas_call(
+            kernel,
+            grid=(St, 8),
+            in_specs=[
+                pl.BlockSpec((1, 8, Lp), lambda t, j: (t, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 8), lambda t, j: (t, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 8), lambda t, j: (t, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 8), lambda t, j: (t, 0, 0), memory_space=pltpu.SMEM),
+                out_c,   # ienv (f32, VMEM: SMEM only allows scalar loads)
+                out_c,   # jenv
+                pl.BlockSpec((1, 8, C), lambda t, j: (t, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((21, 1, C, Mp), lambda t, j: (0, t * 8 + j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                *trans_specs,
+            ],
+            out_specs=[
+                out_c,
+                pl.BlockSpec((1, 1, C, Mp), lambda t, j: (t, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                out_c, out_c, out_c, out_c, out_c, out_c,
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((St, 8, C), jnp.float32),
+                jax.ShapeDtypeStruct((St, 8, C, Mp), jnp.float32),
+                jax.ShapeDtypeStruct((St, 8, C), jnp.float32),
+                jax.ShapeDtypeStruct((St, 8, C), jnp.float32),
+                jax.ShapeDtypeStruct((St, 8, C), jnp.float32),
+                jax.ShapeDtypeStruct((St, 8, C), jnp.float32),
+                jax.ShapeDtypeStruct((St, 8, C), jnp.float32),
+                jax.ShapeDtypeStruct((St, 8, C), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((Lp, C, Mp), jnp.bfloat16),  # bM rows
+                pltpu.VMEM((Lp, C, Mp), jnp.bfloat16),  # bI rows
+                pltpu.VMEM((Lp, C), jnp.float32),       # backward logscale
+                pltpu.VMEM((Lp, C), jnp.float32),       # log bN
+                pltpu.VMEM((Lp, C), jnp.float32),       # log bJ
+                pltpu.VMEM((Lp, C), jnp.float32),       # log bC
+            ],
+            interpret=interpret,
+        )(xs, lens, loops, moves, ienv, jenv, totals, e_g, *trans_g)
+        envsc, matocc, insocc, xocc, tf, tt, hf, ht = outs
+        return (envsc.reshape(S, C), matocc.reshape(S, C, Mp),
+                insocc.reshape(S, C), xocc.reshape(S, C),
+                tf.reshape(S, C), tt.reshape(S, C),
+                hf.reshape(S, C), ht.reshape(S, C))
+
+    return jax.jit(run)
+
+
+class PairAlignKernel:
+    """Pair-dense envelope scoring + OA alignment (stage 3b).
+
+    One call scores a batch of envelopes: ``envelopes[i]`` is
+    ``(seq_index, profile_row, ienv, jenv)`` (1-based inclusive window).
+    Returns dicts keyed by envelope index with the envelope Forward
+    score, null2 occupancy statistics, and alignment coordinates,
+    matching ``engine.define_domains``'s per-envelope numbers (f32).
+    """
+
+    def __init__(self, bank: ProfileBank):
+        import jax.numpy as jnp
+
+        self.bank = bank
+        self.masked = bool((bank.lengths >= bank.Mp).any())
+        self.e_odds = jnp.asarray(bank.e_odds)
+        self.trans = tuple(jnp.asarray(a) for a in (
+            bank.tmm, bank.tim, bank.tdm, bank.tmi, bank.tii,
+            bank.tmd, bank.tdd, bank.bm,
+        ))
+
+    def __call__(self, sequences, envelopes, totals, pad_to=None, interpret=False):
+        import jax.numpy as jnp
+
+        NE = len(envelopes)
+        if NE == 0:
+            return []
+        Lp = pad_to or _round_up(max(len(x) for x in sequences), 32)
+        # group envelopes by sequence: one grid cell per sequence, up to
+        # C rows; sequences with more envelopes repeat in another cell
+        C = 8
+        cells: List[List[int]] = []
+        cell_of_seq: Dict[int, int] = {}
+        for n, (s, _p, _i, _j) in enumerate(envelopes):
+            c = cell_of_seq.get(s, -1)
+            if c < 0 or len(cells[c]) >= C:
+                cells.append([])
+                c = len(cells) - 1
+                cell_of_seq[s] = c
+            cells[c].append(n)
+        n_cells = len(cells)
+        St = max(1, 1 << (((n_cells + 7) // 8) - 1).bit_length())
+        n = St * 8
+        xs = numpy.zeros((n, Lp), dtype=numpy.int32)
+        lens = numpy.ones(n, dtype=numpy.int32)
+        loops = numpy.full(n, 0.5, dtype=numpy.float32)
+        moves = numpy.full(n, 0.5, dtype=numpy.float32)
+        ienv = numpy.ones((n, C), dtype=numpy.float32)
+        jenv = numpy.zeros((n, C), dtype=numpy.float32)  # empty window
+        tot = numpy.zeros((n, C), dtype=numpy.float32)
+        idx = numpy.zeros((n, C), dtype=numpy.int32)
+        for c, members in enumerate(cells):
+            s = envelopes[members[0]][0]
+            x = sequences[s]
+            L = len(x)
+            xs[c, :L] = x
+            lens[c] = max(L, 1)
+            loop, move = length_model(L)
+            loops[c] = math.exp(loop)
+            moves[c] = math.exp(move)
+            for r, ne in enumerate(members):
+                _s, p, i0, j0 = envelopes[ne]
+                idx[c, r] = p
+                ienv[c, r] = i0
+                jenv[c, r] = j0
+                tot[c, r] = totals[ne]
+        fn = _pallas_pair_align(
+            self.bank.Mp, Lp, C, self.masked, _auto_interpret(interpret)
+        )
+        envsc, matocc, insocc, xocc, tf, tt, hf, ht = fn(
+            jnp.asarray(xs.reshape(St, 8, Lp)),
+            jnp.asarray(lens.reshape(St, 1, 8)),
+            jnp.asarray(loops.reshape(St, 1, 8)),
+            jnp.asarray(moves.reshape(St, 1, 8)),
+            jnp.asarray(ienv.reshape(St, 8, C)),
+            jnp.asarray(jenv.reshape(St, 8, C)),
+            jnp.asarray(tot.reshape(St, 8, C)),
+            jnp.asarray(idx.reshape(n, C)),
+            self.e_odds, *self.trans,
+        )
+        envsc = numpy.asarray(envsc)
+        matocc = numpy.asarray(matocc)
+        insocc = numpy.asarray(insocc)
+        xocc = numpy.asarray(xocc)
+        tf = numpy.asarray(tf)
+        tt = numpy.asarray(tt)
+        hf = numpy.asarray(hf)
+        ht = numpy.asarray(ht)
+        place = {}
+        for c, members in enumerate(cells):
+            for r, ne in enumerate(members):
+                place[ne] = (c, r)
+        results = []
+        for ne, (_s, _p, _i, _j) in enumerate(envelopes):
+            c, r = place[ne]
+            results.append({
+                "envsc": float(envsc[c, r]),
+                "matocc": matocc[c, r],
+                "insocc": float(insocc[c, r]),
+                "xocc": float(xocc[c, r]),
+                "target_from": int(round(float(tf[c, r]))),
+                "target_to": int(round(float(tt[c, r]))),
+                "hmm_from": int(round(float(hf[c, r]))),
+                "hmm_to": int(round(float(ht[c, r]))),
+            })
+        return results
 
 
 class PairBucketed:

@@ -96,6 +96,7 @@ class SearchPipeline:
         self._bank = ProfileBank.build(self.profiles) if self.profiles else None
         self._filter_kernel = None
         self._pair_forward = None
+        self._pair_domains = None
 
     def _resolve_backend(self) -> str:
         """Pick the device engine: Pallas kernels on TPU, XLA elsewhere."""
@@ -241,11 +242,11 @@ class SearchPipeline:
                         for p in surviving[i]:
                             pair_scores[(i, p)] = float(fwd[s, col[p]])
 
-        # ---- stage 3 (host): Forward threshold, domain definition, reporting
-        hits: List[SequenceHit] = []
+        # ---- stage 3: Forward threshold, domain definition, reporting.
+        # Candidate selection first (F3 / E / bit-cutoff gates):
+        candidates: List[Tuple[int, int, float, float]] = []
         for (i, p), fwd_nats in sorted(pair_scores.items()):
             gm = self.profiles[p]
-            L = int(lengths[i])
             bits = (fwd_nats - nullsc[i]) / LOG2
             tau, lam = gm.hmm.stats.get("FORWARD", (0.0, math.log(2.0)))
             pv = exp_surv(bits, tau, lam)
@@ -257,15 +258,43 @@ class SearchPipeline:
                     continue
             elif bits < cutoff[0]:
                 continue
-            # exact rescore + domains on the host engine (float64)
-            x = sequences[i]
-            fwd = engine.forward(gm, x)
-            bwd = engine.backward(gm, x)
-            bits64 = (fwd.score - nullsc[i]) / LOG2
-            pv64 = exp_surv(bits64, tau, lam)
-            domains = engine.define_domains(gm, x, fwd, bwd)
+            candidates.append((i, p, bits, pv))
+        if not candidates:
+            return []
+
+        # Domain definition: on-device posterior/envelope/alignment
+        # kernels on the Pallas backend; the exact float64 host engine
+        # otherwise.  Scores on the device path are f32, like HMMER's
+        # own pipeline (the reference's engine is f32 end-to-end).
+        domains_of: Dict[Tuple[int, int], List[DomainHit]] = {}
+        if self.use_accelerator and backend == "pallas":
+            from .domains import PairDomains
+
+            if self._pair_domains is None:
+                self._pair_domains = PairDomains(self._bank, self.profiles)
+            domains_of = self._pair_domains.define(
+                sequences, [(i, p) for i, p, _, _ in candidates],
+                pad_to=global_cap,
+            )
+        else:
+            rescored: List[Tuple[int, int, float, float]] = []
+            for i, p, _, _ in candidates:
+                gm = self.profiles[p]
+                x = sequences[i]
+                fwd = engine.forward(gm, x)
+                bits64 = (fwd.score - nullsc[i]) / LOG2
+                tau, lam = gm.hmm.stats.get("FORWARD", (0.0, math.log(2.0)))
+                domains_of[(i, p)] = engine.define_domains(gm, x, fwd)
+                # keep the float64 rescore for reporting on this path
+                rescored.append((i, p, bits64, exp_surv(bits64, tau, lam)))
+            candidates = rescored
+
+        hits: List[SequenceHit] = []
+        for i, p, bits, pv in candidates:
+            gm = self.profiles[p]
+            cutoff = self._cutoff(gm)
             reported: List[DomainHit] = []
-            for dom in domains:
+            for dom in domains_of.get((i, p), []):
                 dom.i_evalue = dom.pvalue * domZ
                 if cutoff is None:
                     if dom.i_evalue <= self.domE:
@@ -276,7 +305,7 @@ class SearchPipeline:
                 continue
             hits.append(SequenceHit(
                 sequence_index=i, profile=gm,
-                score=bits64, pvalue=pv64, evalue=pv64 * Z,
+                score=float(bits), pvalue=float(pv), evalue=float(pv) * Z,
                 domains=reported,
             ))
         return hits

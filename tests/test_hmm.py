@@ -238,6 +238,55 @@ def test_pair_forward_matches_batch(profiles, sequences):
         assert value == pytest.approx(reference[s, p], abs=5e-3), (s, p)
 
 
+def test_pair_posterior_matches_engine(profiles, sequences):
+    """Device posterior trajectories equal the float64 host decode."""
+    from gecco_tpu.hmm.kernels import PairPosteriorKernel
+
+    bank = batch.ProfileBank.build(profiles)
+    xs = [x for _, x in sequences]
+    kern = PairPosteriorKernel(bank)
+    pair_idx = numpy.array([[0, 3], [1, 4], [2, 5]], dtype=numpy.int32)
+    score, mocc, pb, pe = kern(xs, pair_idx, interpret=True)
+    for s in range(3):
+        for c in range(2):
+            gm = profiles[pair_idx[s, c]]
+            x = xs[s]
+            fwd = engine.forward(gm, x)
+            post = engine.posterior_decode(gm, x, fwd, engine.backward(gm, x))
+            L = len(x)
+            assert score[s, c] == pytest.approx(fwd.score, abs=5e-3)
+            numpy.testing.assert_allclose(mocc[s, c, :L], post.mocc[1:], atol=5e-3)
+            numpy.testing.assert_allclose(
+                numpy.cumsum(pb[s, c, :L]), post.btot[1:], atol=2e-2)
+            numpy.testing.assert_allclose(
+                numpy.cumsum(pe[s, c, :L]), post.etot[1:], atol=2e-2)
+
+
+def test_pair_domains_matches_engine(profiles, sequences):
+    """The full device stage 3 (posteriors -> envelopes -> alignment)
+    reproduces the host ``define_domains`` envelopes, coordinates, and
+    scores on the true minipfam pairs."""
+    from gecco_tpu.hmm.domains import PairDomains
+
+    bank = batch.ProfileBank.build(profiles)
+    xs = [x for _, x in sequences]
+    name_of = {gm.name: i for i, gm in enumerate(profiles)}
+    pairs = [(0, name_of["1-cysPrx_C"]), (1, name_of["120_Rick_ant"]),
+             (2, name_of["14-3-3"])]
+    dom = PairDomains(bank, profiles)
+    got = dom.define(xs, pairs, pad_to=1024, interpret=True)
+    for (s, p) in pairs:
+        expected = engine.define_domains(profiles[p], xs[s])
+        mine = got[(s, p)]
+        assert len(mine) == len(expected)
+        for a, b in zip(mine, expected):
+            assert (a.ienv, a.jenv) == (b.ienv, b.jenv)
+            assert (a.target_from, a.target_to) == (b.target_from, b.target_to)
+            assert (a.hmm_from, a.hmm_to) == (b.hmm_from, b.hmm_to)
+            assert a.envsc == pytest.approx(b.envsc, abs=5e-2)
+            assert a.bitscore == pytest.approx(b.bitscore, abs=5e-2)
+
+
 def test_pallas_msv_matches_batch(profiles, sequences):
     from gecco_tpu.hmm.kernels import MSVKernel
 
@@ -299,8 +348,15 @@ def test_pipeline_pallas_backend_matches_xla(profiles, sequences):
         (h.sequence_index, h.profile.name) for h in ref
     ]
     for a, b in zip(out, ref):
-        assert a.score == pytest.approx(b.score, abs=1e-6)
+        # pallas stage 3 is f32 on-device (like HMMER itself); the xla
+        # path reports the float64 host rescore
+        assert a.score == pytest.approx(b.score, abs=5e-3)
         assert len(a.domains) == len(b.domains)
+        for da, db in zip(a.domains, b.domains):
+            assert (da.ienv, da.jenv) == (db.ienv, db.jenv)
+            assert (da.target_from, da.target_to) == (db.target_from, db.target_to)
+            assert (da.hmm_from, da.hmm_to) == (db.hmm_from, db.hmm_to)
+            assert da.bitscore == pytest.approx(db.bitscore, abs=5e-2)
 
 
 def test_annotator_contract(sequences):
