@@ -1,13 +1,17 @@
 #!/usr/bin/env python
 """Single-chip benchmark: annotate+decode throughput (genomes/hour/chip).
 
-Measures the two on-device hot paths of the pipeline on one chip,
-mirroring the production SearchPipeline stages:
+Times the REAL production path on one chip:
 
-1. **annotate** — SSV filter of every (protein, profile) pair against a
+1. **annotate** — the full ``SearchPipeline.search`` over a
    2,766-profile bank (the size of GECCO's pruned Pfam library,
-   ``BASELINE.md``), plus pair-dense Forward rescoring of filter
-   survivors (~2% of pairs at F1=0.02, gathered per sequence);
+   ``BASELINE.md``): SSV filter of all pairs, pair-dense Forward of
+   filter survivors, and on-device domain definition (posterior
+   trajectories, envelope splitting, envelope rescore, null2,
+   optimal-accuracy alignment) for the reported hits.  The workload
+   plants one real domain into most proteins so the hit rate — and
+   therefore the stage-3 load — matches production (~1 reported
+   domain per gene).
 2. **decode** — windowed CRF forward–backward marginals (W=20, step 1)
    for a full-genome gene chain with max-pooling.
 
@@ -16,17 +20,16 @@ hermetic environment) with a Pfam-like length distribution — identical
 kernels, identical shapes.  A "genome" is normalized to 3,000 proteins
 (typical bacterial proteome).
 
-Baseline: the reference (pyhmmer/CRFsuite on a multicore CPU node) runs
-``gecco run`` at roughly 40 genomes/hour (≈90 s/genome); no official
-number is published (``BASELINE.md``), so ``vs_baseline`` is measured
-against that documented estimate.
+Baseline: the reference (pyrodigal/pyhmmer/CRFsuite on a multicore CPU
+node) runs ``gecco run`` at roughly 40 genomes/hour (≈90 s/genome); no
+official number is published (``BASELINE.md``), so ``vs_baseline`` is
+measured against that documented estimate.
 
 Prints one JSON line:
 ``{"metric": "genomes/hour/chip", "value": N, "unit": "genomes/hour", "vs_baseline": R}``
 """
 
 import json
-import math
 import sys
 import time
 
@@ -37,25 +40,6 @@ GENOME_GENES = 3000
 BASELINE_GENOMES_PER_HOUR = 40.0
 N_PROFILES = 2766
 N_PROTEINS = 768
-BATCH = 64
-
-
-def pad_batch(seqs, Lp):
-    from gecco_tpu.hmm.profile import length_model
-
-    S = len(seqs)
-    xs = numpy.zeros((S, Lp), dtype=numpy.int32)
-    masks = numpy.zeros((S, Lp), dtype=bool)
-    loops = numpy.zeros(S, dtype=numpy.float32)
-    moves = numpy.zeros(S, dtype=numpy.float32)
-    for i, x in enumerate(seqs):
-        L = min(len(x), Lp)
-        xs[i, :L] = x[:L]
-        masks[i, :L] = True
-        loop, move = length_model(L)
-        loops[i] = math.exp(loop)
-        moves[i] = math.exp(move)
-    return xs, masks, loops, moves
 
 
 def main() -> None:
@@ -66,78 +50,28 @@ def main() -> None:
     import jax.numpy as jnp
 
     from gecco_tpu.crf.decode import marginals_jax
-    from gecco_tpu.hmm.batch import ProfileBank, _bank_tuple, _jit_forward, _jit_msv
-    from gecco_tpu.hmm.synthetic import synthetic_profiles, synthetic_proteins
+    from gecco_tpu.hmm.pipeline import SearchPipeline
+    from gecco_tpu.hmm.synthetic import plant_domain, synthetic_profiles, synthetic_proteins
 
-    # ---- build the workload
+    # ---- build the workload: background proteins with planted domains
     profiles = synthetic_profiles(N_PROFILES, min_length=40, max_length=250, seed=0)
-    bank = ProfileBank.build(profiles, lane=128)
-    seqs = synthetic_proteins(N_PROTEINS, mean_length=280, seed=1)
-    Lp = 512
-    seqs = [x[:Lp] for x in seqs]
-    total_cells = sum(len(x) for x in seqs) * int(bank.lengths.sum())
+    seqs = [x[:512] for x in synthetic_proteins(N_PROTEINS, mean_length=280, seed=1)]
+    rng = numpy.random.default_rng(7)
+    for i in range(len(seqs)):
+        if i % 4 != 3:  # ~75% of proteins carry one real Pfam-like domain
+            seqs[i] = plant_domain(seqs[i], profiles[(i * 13) % N_PROFILES], rng)
 
-    on_tpu = jax.devices()[0].platform == "tpu"
-    batches = [
-        pad_batch(seqs[i : i + BATCH], Lp) for i in range(0, len(seqs), BATCH)
-    ]
-    batches_dev = [
-        tuple(jnp.asarray(a) for a in b) for b in batches
-    ]
+    pipeline = SearchPipeline(profiles, Z=N_PROFILES, domZ=N_PROFILES)
 
-    # SSV filter stage (pipeline stage 1): Pallas kernel on TPU (bank
-    # resident in VMEM), XLA batch engine elsewhere — one dispatch per
-    # length bucket for the whole protein set, as the SearchPipeline
-    # flushes it.  NB: through the remote-execution tunnel
-    # ``block_until_ready`` can return before the work is done; a host
-    # reduction is the only reliable synchronization, so every stage is
-    # timed through a host-side sum.
-    if on_tpu:
-        from gecco_tpu.hmm.kernels import Bucketed, SSVKernel
-
-        kern = Bucketed(SSVKernel, bank, seq_tile=8, profile_chunk=256)
-        float(kern(seqs, pad_to=Lp).sum())  # compile
-        t0 = time.perf_counter()
-        acc = float(kern(seqs, pad_to=Lp).sum())
-        t_msv = time.perf_counter() - t0
-    else:
-        from gecco_tpu.hmm.batch import _jit_ssv
-
-        ssv = _jit_ssv(bank.P, bank.Mp, Lp)
-        bank_dev = tuple(jnp.asarray(a) for a in _bank_tuple(bank))
-        float(jnp.sum(ssv(bank_dev, *batches_dev[0])))
-        t0 = time.perf_counter()
-        acc = 0.0
-        for b in batches_dev:
-            acc += float(jnp.sum(ssv(bank_dev, *b)))
-        t_msv = time.perf_counter() - t0
-
-    # Forward stage on filter survivors (pipeline stage 2): pair-dense —
-    # at the hmmsearch default F1=0.02 each protein keeps ~2% of the
-    # 2,766 profiles (~55, padded to 64); the kernel gathers each
-    # sequence's survivor rows on device and scores only real pairs.
-    SURV = 64
-    rng = numpy.random.default_rng(2)
-    survivors = [rng.choice(bank.P, size=SURV, replace=False).tolist() for _ in seqs]
-    if on_tpu:
-        from gecco_tpu.hmm.kernels import PairBucketed
-
-        fkern = PairBucketed(bank)
-        fkern(seqs, survivors, pad_to=Lp)  # compile at the full shape
-        t0 = time.perf_counter()
-        got = fkern(seqs, survivors, pad_to=Lp)
-        t_fwd = time.perf_counter() - t0
-        assert len(got) == len(seqs) * SURV
-    else:
-        sub = bank.select(list(range(SURV)))
-        sub_dev = tuple(jnp.asarray(a) for a in _bank_tuple(sub))
-        fwd_fn = _jit_forward(sub.P, sub.Mp, Lp)
-        float(jnp.sum(fwd_fn(sub_dev, *batches_dev[0])))
-        t0 = time.perf_counter()
-        acc = 0.0
-        for b in batches_dev:
-            acc += float(jnp.sum(fwd_fn(sub_dev, *b)))
-        t_fwd = time.perf_counter() - t0
+    # NB: through the remote-execution tunnel ``block_until_ready`` can
+    # return before the work is done; searching twice and timing the
+    # second run both warms every kernel shape and synchronizes via the
+    # host-side results.
+    hits = pipeline.search(seqs)  # compile/warm every stage
+    t0 = time.perf_counter()
+    hits = pipeline.search(seqs)
+    t_search = time.perf_counter() - t0
+    n_domains = sum(len(h.domains) for h in hits)
 
     # ---- CRF decode of one genome-sized gene chain
     rng = numpy.random.default_rng(0)
@@ -153,7 +87,7 @@ def main() -> None:
 
     # ---- normalize to genomes/hour
     scale = GENOME_PROTEINS / len(seqs)
-    seconds_per_genome = (t_msv + t_fwd) * scale + t_crf
+    seconds_per_genome = t_search * scale + t_crf
     genomes_per_hour = 3600.0 / seconds_per_genome
     result = {
         "metric": "genomes/hour/chip",
@@ -163,8 +97,8 @@ def main() -> None:
     }
     print(json.dumps(result))
     print(
-        f"# msv={t_msv:.3f}s ({total_cells/max(t_msv,1e-9)/1e9:.1f} Gcells/s) "
-        f"fwd={t_fwd:.3f}s crf={t_crf:.3f}s "
+        f"# search={t_search:.3f}s ({len(hits)} hits, {n_domains} domains, "
+        f"{len(seqs)} proteins x {N_PROFILES} profiles) crf={t_crf:.3f}s "
         f"sec/genome={seconds_per_genome:.2f} device={jax.devices()[0].platform}",
         file=sys.stderr,
     )

@@ -94,27 +94,35 @@ class PairDomains:
 
         for b, members in sorted(by_bucket.items()):
             idx, post_kern, align_kern = self.buckets[b]
-            seq_ids = sorted({s for s, _ in members})
-            seq_pos = {s: n for n, s in enumerate(seq_ids)}
-            rows: Dict[int, List[int]] = {}
+            grouped: Dict[int, List[int]] = {}
             for s, p in members:
-                rows.setdefault(s, []).append(int(self.local[p, 1]))
-            C0 = max(len(v) for v in rows.values())
-            pair_idx = numpy.zeros((len(seq_ids), C0), dtype=numpy.int32)
-            for s, locs in rows.items():
-                pair_idx[seq_pos[s], : len(locs)] = locs
-            seqs_b = [sequences[s] for s in seq_ids]
+                grouped.setdefault(s, []).append(int(self.local[p, 1]))
+            # cap pairs per kernel row (a low-complexity sequence with
+            # hundreds of candidates would inflate the whole batch's
+            # gather footprint): chunk into several rows per sequence
+            entries: List[Tuple[int, List[int]]] = []
+            for s, locs in grouped.items():
+                for c0 in range(0, len(locs), 8):
+                    entries.append((s, locs[c0 : c0 + 8]))
+            C0 = max(len(locs) for _, locs in entries)
+            pair_idx = numpy.zeros((len(entries), C0), dtype=numpy.int32)
+            for n, (_s, locs) in enumerate(entries):
+                pair_idx[n, : len(locs)] = locs
+            seqs_b = [sequences[s] for s, _ in entries]
             score, mocc, pb, pe = post_kern(
                 seqs_b, pair_idx, pad_to=pad_to, interpret=interpret
             )
+            where: Dict[Tuple[int, int], Tuple[int, int]] = {}
+            for n, (s, locs) in enumerate(entries):
+                for c, loc in enumerate(locs):
+                    where[(s, loc)] = (n, c)
 
             # host: regions -> envelopes from the device trajectories
             envelopes: List[Tuple[int, int, int, int]] = []
             totals: List[float] = []
             env_pair: List[Tuple[int, int]] = []
             for s, p in members:
-                n = seq_pos[s]
-                c = rows[s].index(int(self.local[p, 1]))
+                n, c = where[(s, int(self.local[p, 1]))]
                 L = len(sequences[s])
                 post = Posterior(
                     ppM=None, ppI=None,

@@ -366,21 +366,22 @@ class DomainHit:
 
 def _find_regions(post: Posterior, L: int) -> List[Tuple[int, int]]:
     """Maximal runs with mocc ≥ rt2 containing a position ≥ rt1."""
-    regions: List[Tuple[int, int]] = []
-    i = 1
-    while i <= L:
-        if post.mocc[i] >= RT2:
-            j = i
-            peak = post.mocc[i]
-            while j + 1 <= L and post.mocc[j + 1] >= RT2:
-                j += 1
-                peak = max(peak, post.mocc[j])
-            if peak >= RT1:
-                regions.append((i, j))
-            i = j + 1
-        else:
-            i += 1
-    return regions
+    above = numpy.asarray(post.mocc[1 : L + 1]) >= RT2
+    if not above.any():
+        return []
+    edges = numpy.diff(above.astype(numpy.int8))
+    starts = numpy.flatnonzero(edges == 1) + 1
+    ends = numpy.flatnonzero(edges == -1)
+    if above[0]:
+        starts = numpy.concatenate(([0], starts))
+    if above[-1]:
+        ends = numpy.concatenate((ends, [L - 1]))
+    peaks = numpy.maximum.reduceat(numpy.asarray(post.mocc[1 : L + 1]), starts)
+    return [
+        (int(s) + 1, int(e) + 1)
+        for s, e, peak in zip(starts, ends, peaks)
+        if peak >= RT1
+    ]
 
 
 def _split_region(post: Posterior, start: int, end: int) -> List[Tuple[int, int]]:

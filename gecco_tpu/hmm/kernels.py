@@ -1528,8 +1528,11 @@ class PairBucketed:
             rows: List[Tuple[int, List[int]]] = []
             for s, profs in enumerate(survivors):
                 mine = [p for p in profs if self.local[p, 0] == b]
-                if mine:
-                    rows.append((s, mine))
+                # cap survivor rows per kernel row: a sequence with a
+                # huge survivor set (low-complexity junk) spreads over
+                # several rows instead of blowing the VMEM block budget
+                for c0 in range(0, len(mine), 64):
+                    rows.append((s, mine[c0 : c0 + 64]))
             if not rows:
                 continue
             C0 = max(len(mine) for _, mine in rows)

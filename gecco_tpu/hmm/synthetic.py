@@ -13,7 +13,7 @@ import numpy
 from .io import BACKGROUND_F, ProfileHMM
 from .profile import SearchProfile, configure_local
 
-__all__ = ["synthetic_profiles", "synthetic_proteins"]
+__all__ = ["synthetic_profiles", "synthetic_proteins", "plant_domain"]
 
 
 def synthetic_profiles(
@@ -62,3 +62,35 @@ def synthetic_proteins(
         rng.choice(20, size=int(L), p=p).astype(numpy.int32)
         for L in lengths
     ]
+
+
+def plant_domain(
+    x: "numpy.ndarray",
+    gm: SearchProfile,
+    rng: "numpy.random.Generator",
+    offset: int = 10,
+    max_len: int = 100,
+) -> "numpy.ndarray":
+    """Overwrite part of ``x`` with residues emitted from the profile.
+
+    Samples a match-state path (emissions drawn from each node's match
+    distribution, occasional node skips) so the sequence genuinely
+    scores against ``gm`` — used to give benchmark workloads
+    production-like hit rates so the domain-definition stage is
+    exercised.  Sampling (not argmax) keeps the segment's composition
+    realistic; argmax emissions are low-complexity and light up
+    hundreds of unrelated profiles.
+    """
+    match = gm.hmm.match[1:, :20]
+    cdf = numpy.cumsum(match / match.sum(axis=1, keepdims=True), axis=1)
+    u = rng.random((len(cdf), 1))
+    emitted = (u > cdf).sum(axis=1).astype(numpy.int32)
+    emitted = numpy.minimum(emitted, 19)
+    keep = rng.random(len(emitted)) > 0.08          # ~8% deletions
+    emitted = emitted[keep][:max_len]
+    n = min(len(emitted), len(x) - offset)
+    if n <= 0:
+        return x
+    out = x.copy()
+    out[offset : offset + n] = emitted[:n]
+    return out
