@@ -68,9 +68,11 @@ def main() -> None:
     # second run both warms every kernel shape and synchronizes via the
     # host-side results.
     hits = pipeline.search(seqs)  # compile/warm every stage
-    t0 = time.perf_counter()
-    hits = pipeline.search(seqs)
-    t_search = time.perf_counter() - t0
+    t_search = float("inf")
+    for _ in range(2):  # best-of-2: the tunnel adds ±20% timing noise
+        t0 = time.perf_counter()
+        hits = pipeline.search(seqs)
+        t_search = min(t_search, time.perf_counter() - t0)
     n_domains = sum(len(h.domains) for h in hits)
 
     # ---- CRF decode of one genome-sized gene chain

@@ -1523,30 +1523,55 @@ class PairBucketed:
 
     def __call__(self, sequences, survivors, pad_to=None, interpret=False):
         """Scores for surviving pairs: ``{(seq_index, profile): nats}``."""
-        out: Dict[Tuple[int, int], float] = {}
+        s_idx, p_idx, values = self.flat(
+            sequences, survivors, pad_to=pad_to, interpret=interpret
+        )
+        return {
+            (int(s), int(p)): float(v)
+            for s, p, v in zip(s_idx, p_idx, values)
+        }
+
+    def flat(self, sequences, survivors, pad_to=None, interpret=False,
+             chunk: int = 64):
+        """Scores for surviving pairs as flat arrays.
+
+        Returns ``(seq_indices, profile_indices, scores)`` — the cheap
+        form for vectorized downstream thresholding.
+        """
+        bucket_of = self.local[:, 0]
+        row_of = self.local[:, 1]
+        out_s: List["numpy.ndarray"] = []
+        out_p: List["numpy.ndarray"] = []
+        out_v: List["numpy.ndarray"] = []
+        surv = [numpy.asarray(profs, dtype=numpy.int64) for profs in survivors]
         for b, (global_idx, kern) in enumerate(self.buckets):
-            rows: List[Tuple[int, List[int]]] = []
-            for s, profs in enumerate(survivors):
-                mine = [p for p in profs if self.local[p, 0] == b]
-                # cap survivor rows per kernel row: a sequence with a
-                # huge survivor set (low-complexity junk) spreads over
-                # several rows instead of blowing the VMEM block budget
-                for c0 in range(0, len(mine), 64):
-                    rows.append((s, mine[c0 : c0 + 64]))
+            # chunk survivor rows: a sequence with a huge survivor set
+            # (low-complexity junk) spreads over several rows instead of
+            # inflating the whole batch's block width
+            rows: List[Tuple[int, "numpy.ndarray"]] = []
+            for s, profs in enumerate(surv):
+                mine = profs[bucket_of[profs] == b]
+                for c0 in range(0, len(mine), chunk):
+                    rows.append((s, mine[c0 : c0 + chunk]))
             if not rows:
                 continue
             C0 = max(len(mine) for _, mine in rows)
             pair_idx = numpy.zeros((len(rows), C0), dtype=numpy.int32)
             for r, (_s, mine) in enumerate(rows):
-                pair_idx[r, : len(mine)] = self.local[mine, 1]
+                pair_idx[r, : len(mine)] = row_of[mine]
             scores = kern(
                 [sequences[s] for s, _ in rows], pair_idx,
                 pad_to=pad_to, interpret=interpret,
             )
             for r, (s, mine) in enumerate(rows):
-                for c, p in enumerate(mine):
-                    out[(s, p)] = float(scores[r, c])
-        return out
+                out_s.append(numpy.full(len(mine), s, dtype=numpy.int64))
+                out_p.append(mine)
+                out_v.append(scores[r, : len(mine)])
+        if not out_s:
+            z = numpy.zeros(0)
+            return z.astype(numpy.int64), z.astype(numpy.int64), z.astype(numpy.float32)
+        return (numpy.concatenate(out_s), numpy.concatenate(out_p),
+                numpy.concatenate(out_v).astype(numpy.float32))
 
 
 class ForwardKernel:

@@ -219,12 +219,35 @@ class SearchPipeline:
                 from .kernels import PairBucketed
 
                 self._pair_forward = PairBucketed(self._bank)
-            got = self._pair_forward(
+            s_loc, p_arr, v_arr = self._pair_forward.flat(
                 [sequences[i] for i in keys],
                 [surviving[i] for i in keys],
                 pad_to=global_cap,
             )
-            pair_scores = {(keys[s], p): v for (s, p), v in got.items()}
+            keys_arr = numpy.asarray(keys, dtype=numpy.int64)
+            s_arr = keys_arr[s_loc]
+            # vectorized F3 / E thresholding (the reporting gates below
+            # re-check per candidate; this prunes the python loop input)
+            bits_all = (v_arr - nullsc[s_arr]) / LOG2
+            tau = self._bank.fwd_tau[p_arr]
+            lam = self._bank.fwd_lambda[p_arr]
+            pv_all = numpy.where(
+                bits_all <= tau, 1.0,
+                numpy.exp(-lam * numpy.maximum(bits_all - tau, 0.0)),
+            )
+            if self.max_filter:
+                keep = numpy.ones(len(s_arr), dtype=bool)
+            else:
+                keep = pv_all <= self.F3
+            if self.bit_cutoffs is None:
+                keep &= pv_all * Z <= self.E
+            order2 = numpy.lexsort((p_arr[keep], s_arr[keep]))
+            pair_scores = {
+                (int(s), int(p)): float(v)
+                for s, p, v in zip(
+                    s_arr[keep][order2], p_arr[keep][order2], v_arr[keep][order2]
+                )
+            }
         else:
             # XLA path: batch × profile-union per length bucket
             by_cap: Dict[int, List[int]] = {}
