@@ -727,7 +727,7 @@ def _pallas_pair_posterior(Mp: int, Lp: int, C: int, masked: bool, interpret: bo
                e_ref, tmm_ref, tim_ref, tdm_ref, tmi_ref, tii_ref,
                tmd_ref, tdd_ref, bm_ref,
                score_ref, mocc_ref, pb_ref, pe_ref,
-               fN_s, fB_s, fJ_s, fC_s, fE_s, mocc_s, pb_s, pe_s):
+               fN_s, fB_s, fJ_s, fC_s, fE_s, flog_s, mocc_s, pb_s, pe_s):
         j = pl.program_id(1)
         lane = jax.lax.broadcasted_iota(jnp.int32, (C, Mp), dimension=1)
         first_lane = lane == 0
@@ -785,9 +785,13 @@ def _pallas_pair_posterior(Mp: int, Lp: int, C: int, masked: bool, interpret: bo
         L = lens_ref[0, 0, j]
         loop = loops_ref[0, 0, j]
         move = moves_ref[0, 0, j]
-        log_loop = jnp.log(loop)
 
-        # ---- pass A: forward, recording log scalar-state trajectories
+        # ---- pass A: forward, recording scalar-state trajectories
+        # Trajectories are kept as RAW rescaled probabilities plus one
+        # shared log-scale row — per-step transcendentals (5 logs on the
+        # way out, 5 exps on the way back) cost several times the DP
+        # recurrence itself on the VPU; in raw space the backward emit
+        # needs only 2 exps of shared scale factors.
         def fstep(i, carry):
             M, I, D, N, B, J, Cc, logscale = carry
             xi = xs_ref[0, j, i]
@@ -804,12 +808,12 @@ def _pallas_pair_posterior(Mp: int, Lp: int, C: int, masked: bool, interpret: bo
             total = E + Bn + Nn + Cn + 1e-30
             inv = 1.0 / total
             ls = logscale + jnp.log(total)
-            tiny = 1e-38
-            fN_s[i, :] = (jnp.log(Nn * inv + tiny) + ls)[:, 0]
-            fB_s[i, :] = (jnp.log(Bn * inv + tiny) + ls)[:, 0]
-            fJ_s[i, :] = (jnp.log(Jn * inv + tiny) + ls)[:, 0]
-            fC_s[i, :] = (jnp.log(Cn * inv + tiny) + ls)[:, 0]
-            fE_s[i, :] = (jnp.log(E * inv + tiny) + ls)[:, 0]
+            fN_s[i, :] = (Nn * inv)[:, 0]
+            fB_s[i, :] = (Bn * inv)[:, 0]
+            fJ_s[i, :] = (Jn * inv)[:, 0]
+            fC_s[i, :] = (Cn * inv)[:, 0]
+            fE_s[i, :] = (E * inv)[:, 0]
+            flog_s[i, :] = ls[:, 0]
             return (Mn * inv, In * inv, Dn * inv,
                     Nn * inv, Bn * inv, Jn * inv, Cn * inv, ls)
 
@@ -822,23 +826,28 @@ def _pallas_pair_posterior(Mp: int, Lp: int, C: int, masked: bool, interpret: bo
         score_ref[0, j, :] = total_log[:, 0]
 
         # ---- pass B: backward, combining into posterior trajectories
-        log_move = jnp.log(move)
-        init_fN = jnp.zeros((C, 1), jnp.float32)          # log 1
-        init_fB = jnp.zeros((C, 1), jnp.float32) + log_move
-        init_fJ = jnp.full((C, 1), NEG, jnp.float32)
-        init_fC = jnp.full((C, 1), NEG, jnp.float32)
+        def emit(o, bN_p, bB_p, bJ_p, bC_p, bE_p, ls_b):
+            """Write mocc/pB/pE for output index o (engine row o+1).
 
-        def emit(o, bN_log, bB_log, bJ_log, bC_log, bE_log):
-            """Write mocc/pB/pE for output index o (engine row o+1)."""
-            prev_fN = jnp.where(o == 0, init_fN, fN_s[jnp.maximum(o - 1, 0), :][:, None])
-            prev_fJ = jnp.where(o == 0, init_fJ, fJ_s[jnp.maximum(o - 1, 0), :][:, None])
-            prev_fC = jnp.where(o == 0, init_fC, fC_s[jnp.maximum(o - 1, 0), :][:, None])
-            ppN = jnp.exp(prev_fN + log_loop + bN_log - total_log)
-            ppJ = jnp.exp(prev_fJ + log_loop + bJ_log - total_log)
-            ppC = jnp.exp(prev_fC + log_loop + bC_log - total_log)
+            ``b*_p`` are rescaled backward probabilities with shared
+            log-scale ``ls_b``; the forward side comes from the raw
+            trajectory scratches, so only the two scale factors need an
+            exp.
+            """
+            first = o == 0
+            om1 = jnp.maximum(o - 1, 0)
+            prev_fN = jnp.where(first, 1.0, fN_s[om1, :][:, None])
+            prev_fJ = jnp.where(first, 0.0, fJ_s[om1, :][:, None])
+            prev_fC = jnp.where(first, 0.0, fC_s[om1, :][:, None])
+            prev_ls = jnp.where(first, 0.0, flog_s[om1, :][:, None])
+            sc_prev = jnp.exp(prev_ls + ls_b - total_log)
+            sc_cur = jnp.exp(flog_s[o, :][:, None] + ls_b - total_log)
+            ppN = prev_fN * loop * bN_p * sc_prev
+            ppJ = prev_fJ * loop * bJ_p * sc_prev
+            ppC = prev_fC * loop * bC_p * sc_prev
             mocc = jnp.clip(1.0 - (ppN + ppJ + ppC), 0.0, 1.0)
-            pB = jnp.exp(fB_s[o, :][:, None] + bB_log - total_log)
-            pE = jnp.exp(fE_s[o, :][:, None] + bE_log - total_log)
+            pB = fB_s[o, :][:, None] * bB_p * sc_cur
+            pE = fE_s[o, :][:, None] * bE_p * sc_cur
             mocc_s[o, :] = mocc[:, 0]
             pb_s[o, :] = pB[:, 0]
             pe_s[o, :] = pE[:, 0]
@@ -848,12 +857,8 @@ def _pallas_pair_posterior(Mp: int, Lp: int, C: int, masked: bool, interpret: bo
         bE0 = bC0 * 0.5
         bD_L = dchain_bwd(nm * bE0)
         bM_L = nm * bE0 + tmd * shiftL(bD_L)
-        emit(L - 1,
-             jnp.full((C, 1), NEG, jnp.float32),
-             jnp.full((C, 1), NEG, jnp.float32),
-             jnp.full((C, 1), NEG, jnp.float32),
-             jnp.zeros((C, 1), jnp.float32) + log_move,
-             jnp.zeros((C, 1), jnp.float32) + log_move + math.log(0.5))
+        z1c = jnp.zeros((C, 1), jnp.float32)
+        emit(L - 1, z1c, z1c, z1c, z1c + move, z1c + move * 0.5, z1c)
 
         def bstep(t, carry):
             bM, bI, bN, bB, bJ, bCs, logscale = carry
@@ -872,13 +877,8 @@ def _pallas_pair_posterior(Mp: int, Lp: int, C: int, masked: bool, interpret: bo
             scale = bNn + bJn + bCn + bBn + 1e-30
             inv = 1.0 / scale
             ls = logscale + jnp.log(scale)
-            tiny = 1e-38
-            emit(row - 1,
-                 jnp.log(bNn * inv + tiny) + ls,
-                 jnp.log(bBn * inv + tiny) + ls,
-                 jnp.log(bJn * inv + tiny) + ls,
-                 jnp.log(bCn * inv + tiny) + ls,
-                 jnp.log(bEn * inv + tiny) + ls)
+            emit(row - 1, bNn * inv, bBn * inv, bJn * inv,
+                 bCn * inv, bEn * inv, ls)
             return (bMn * inv, bIn * inv, bNn * inv, bBn * inv,
                     bJn * inv, bCn * inv, ls)
 
@@ -931,6 +931,7 @@ def _pallas_pair_posterior(Mp: int, Lp: int, C: int, masked: bool, interpret: bo
                 pltpu.VMEM((Lp, C), jnp.float32),   # fJ
                 pltpu.VMEM((Lp, C), jnp.float32),   # fC
                 pltpu.VMEM((Lp, C), jnp.float32),   # fE
+                pltpu.VMEM((Lp, C), jnp.float32),   # forward logscale
                 pltpu.VMEM((Lp, C), jnp.float32),   # mocc rows
                 pltpu.VMEM((Lp, C), jnp.float32),   # pB rows
                 pltpu.VMEM((Lp, C), jnp.float32),   # pE rows
