@@ -61,6 +61,14 @@ def main() -> None:
         if i % 4 != 3:  # ~75% of proteins carry one real Pfam-like domain
             seqs[i] = plant_domain(seqs[i], profiles[(i * 13) % N_PROFILES], rng)
 
+    # hmmbuild-style E-value calibration (one-time, at bank build like
+    # HMMER's own): the shipped Pfam .h3m profiles carry simulation-
+    # fitted STATS lines; synthetic profiles need the same fit or the
+    # filter pass rates (and so the stage-2/3 load) are unrealistic.
+    from gecco_tpu.hmm.calibrate import calibrate
+
+    calibrate(profiles)
+
     pipeline = SearchPipeline(profiles, Z=N_PROFILES, domZ=N_PROFILES)
 
     # NB: through the remote-execution tunnel ``block_until_ready`` can

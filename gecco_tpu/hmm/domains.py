@@ -8,31 +8,37 @@ scores/aligns each envelope.  Running that per pair on the Python host
 costs ~100 ms; at real Pfam hit rates (~1-2 reported domains per gene)
 it dominates whole-genome latency.
 
-This module drives the two Pallas kernels that move the O(L·M) work
-on-device, keeping only the O(L) region/threshold logic on the host:
+This module drives the Pallas kernels that keep ALL O(L·M) work — and
+all O(L) intermediates — on device:
 
 1. :class:`~gecco_tpu.hmm.kernels.PairPosteriorKernel` — full-sequence
-   Forward+Backward per pair with ``mocc``/``pB``/``pE`` trajectories;
-2. host region finding + envelope splitting (the same
-   ``engine._find_regions`` / ``engine._split_region`` heuristics);
+   Forward+Backward per pair with ``mocc``/``pB`` trajectories, left
+   resident on the device;
+2. :func:`_envelopes` — a jitted re-statement of the
+   ``engine._find_regions`` / ``engine._split_region`` heuristics over
+   those trajectories; only envelope COORDINATES are transferred
+   (the raw trajectories are ~50 MB per genome — at the ~30 MB/s of a
+   remote-attached TPU that transfer used to dominate wall clock);
 3. :class:`~gecco_tpu.hmm.kernels.PairAlignKernel` — per envelope: the
-   envelope Forward rescore, null2 occupancy statistics, and the
-   optimal-accuracy alignment endpoints (traceback-free).
+   envelope Forward rescore, the in-kernel null2 bias correction, and
+   the optimal-accuracy alignment endpoints (traceback-free).
 
 Profiles are routed to padded-width buckets like the other pair
 kernels; pairs whose ``Lp × Mp`` footprint exceeds the VMEM budget of
-the alignment kernel's backward-plane scratch fall back to the exact
-float64 host engine (``engine.define_domains``).
+the alignment kernel's backward-plane scratch — or whose region /
+envelope count overflows the fixed device slots — fall back to the
+exact float64 host engine (``engine.define_domains``).
 """
 
+import functools
 import math
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy
 
 from . import engine
 from .batch import ProfileBank, _round_up
-from .engine import DomainHit, Posterior, exp_surv
+from .engine import DomainHit, exp_surv
 from .profile import SearchProfile, length_model, null1_score
 
 __all__ = ["PairDomains"]
@@ -42,6 +48,77 @@ LOG2 = math.log(2.0)
 #: max Lp × Mp for the device alignment kernel (2 bf16 [Lp, 8, Mp]
 #: backward-plane scratch rings must fit VMEM next to the DP state)
 _VMEM_CELLS = 512 * 512
+
+#: fixed device slots: regions per pair, envelopes per region
+_N_REGIONS = 8
+_N_ENVS = 4
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_envelopes(R: int, E: int):
+    """Jitted region finding + envelope splitting over device posteriors.
+
+    Vectorized restatement of ``engine._find_regions`` (maximal runs
+    with ``mocc ≥ RT2`` whose peak reaches ``RT1``) and
+    ``engine._split_region`` (cut where cumulative expected-B mass
+    crosses ``m + 0.5``), with fixed capacity: ``R`` regions of up to
+    ``E`` envelopes each.  Returns 1-based inclusive ``(ienv, jenv)``
+    per slot (slot invalid when ``jenv < ienv``) plus an overflow flag
+    per pair (→ exact host fallback).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    RT1, RT2 = engine.RT1, engine.RT2
+
+    def run(mocc, pb, lens):
+        # mocc, pb: [N, C, Lp] f32; lens: [N] int32
+        Lp = mocc.shape[-1]
+        pos = jnp.arange(Lp, dtype=jnp.int32)[None, None, :]
+        vpos = pos < lens[:, None, None]
+        above = jnp.logical_and(mocc >= RT2, vpos)
+        prev = jnp.pad(above[..., :-1], ((0, 0), (0, 0), (1, 0)))
+        start = jnp.logical_and(above, ~prev)
+        rid = jnp.cumsum(start.astype(jnp.int32), axis=-1) * above
+        btot = jnp.cumsum(jnp.where(vpos, pb, 0.0), axis=-1)
+        btot_prev = jnp.pad(btot[..., :-1], ((0, 0), (0, 0), (1, 0)))
+        overflow = jnp.max(rid, axis=-1) > R
+        BIG = jnp.int32(Lp + 1)
+        ienv = []
+        jenv = []
+        for r in range(1, R + 1):
+            m = rid == r
+            any_r = jnp.any(m, axis=-1)
+            peak = jnp.max(jnp.where(m, mocc, 0.0), axis=-1)
+            sj = jnp.clip(jnp.min(jnp.where(m, pos, BIG), axis=-1), 0, Lp - 1)
+            ej = jnp.clip(jnp.max(jnp.where(m, pos, -1), axis=-1), 0, Lp - 1)
+            base = jnp.take_along_axis(btot_prev, sj[..., None], axis=-1)
+            expected = jnp.take_along_axis(btot, ej[..., None], axis=-1) - base
+            n_r = jnp.round(expected).astype(jnp.int32)        # [N, C, 1]
+            valid_r = jnp.logical_and(any_r, peak >= RT1)      # [N, C]
+            overflow = jnp.logical_or(
+                overflow, jnp.logical_and(valid_r, n_r[..., 0] > E)
+            )
+            # envelope index of each position: the number of B-mass
+            # crossings strictly before it, capped at n_r - 1
+            cprev = jnp.where(m, btot_prev - base, 0.0)
+            e = jnp.clip(
+                jnp.floor(cprev - 0.5).astype(jnp.int32),
+                0, jnp.maximum(n_r - 1, 0),
+            )
+            for ei in range(E):
+                me = jnp.logical_and(
+                    jnp.logical_and(m, e == ei), valid_r[..., None]
+                )
+                i0 = jnp.min(jnp.where(me, pos, BIG), axis=-1)
+                j0 = jnp.max(jnp.where(me, pos, -1), axis=-1)
+                ienv.append(i0 + 1)
+                jenv.append(j0 + 1)
+        return (jnp.stack(ienv, axis=-1).astype(jnp.int32),
+                jnp.stack(jenv, axis=-1).astype(jnp.int32),
+                overflow)
+
+    return jax.jit(run)
 
 
 class PairDomains:
@@ -73,20 +150,28 @@ class PairDomains:
         pairs: Sequence[Tuple[int, int]],
         pad_to: int,
         interpret: bool = False,
+        pack: Optional[object] = None,
     ) -> Dict[Tuple[int, int], List[DomainHit]]:
         """Domain hits per (sequence_index, profile_index) pair.
 
         Same per-envelope numbers as ``engine.define_domains`` within
         f32 tolerance (device path), or exactly (host fallback for
         pairs too large for the alignment kernel's VMEM scratch).
+        ``pack`` — an optional already-uploaded
+        :class:`~gecco_tpu.hmm.kernels.SeqPack` of ``sequences``.
         """
+        from .kernels import SeqPack
+
         out: Dict[Tuple[int, int], List[DomainHit]] = {}
+        if pack is None and pairs:
+            Lp = pad_to or _round_up(
+                max(len(sequences[s]) for s, _ in pairs), 32
+            )
+            pack = SeqPack(sequences, Lp)
         by_bucket: Dict[int, List[Tuple[int, int]]] = {}
         for (s, p) in pairs:
-            L = len(sequences[s])
-            Lp = 1 << max(5, int(math.ceil(math.log2(max(1, L)))))
             b = int(self.local[p, 0])
-            if Lp * self.cap_of_bucket[b] > _VMEM_CELLS:
+            if pack.Lp * self.cap_of_bucket[b] > _VMEM_CELLS:
                 gm = self.profiles[p]
                 out[(s, p)] = engine.define_domains(gm, sequences[s])
                 continue
@@ -108,55 +193,60 @@ class PairDomains:
             pair_idx = numpy.zeros((len(entries), C0), dtype=numpy.int32)
             for n, (_s, locs) in enumerate(entries):
                 pair_idx[n, : len(locs)] = locs
-            seqs_b = [sequences[s] for s, _ in entries]
-            score, mocc, pb, pe = post_kern(
-                seqs_b, pair_idx, pad_to=pad_to, interpret=interpret
+            krows = numpy.asarray([s for s, _ in entries], dtype=numpy.int32)
+            # stage 3a: trajectories stay ON DEVICE; only the Forward
+            # score and the envelope coordinate slots are fetched
+            score_d, mocc_d, pb_d, _pe_d = post_kern.call_packed(
+                pack, krows, pair_idx, interpret=interpret
             )
+            env_i_d, env_j_d, over_d = _jit_envelopes(_N_REGIONS, _N_ENVS)(
+                mocc_d, pb_d, pack.lens[krows]
+            )
+            score = numpy.asarray(score_d)
+            env_i = numpy.asarray(env_i_d)
+            env_j = numpy.asarray(env_j_d)
+            over = numpy.asarray(over_d)
             where: Dict[Tuple[int, int], Tuple[int, int]] = {}
             for n, (s, locs) in enumerate(entries):
                 for c, loc in enumerate(locs):
                     where[(s, loc)] = (n, c)
 
-            # host: regions -> envelopes from the device trajectories
             envelopes: List[Tuple[int, int, int, int]] = []
             totals: List[float] = []
             env_pair: List[Tuple[int, int]] = []
             for s, p in members:
                 n, c = where[(s, int(self.local[p, 1]))]
-                L = len(sequences[s])
-                post = Posterior(
-                    ppM=None, ppI=None,
-                    mocc=numpy.concatenate(([0.0], mocc[n, c, :L])),
-                    btot=numpy.concatenate(([0.0], numpy.cumsum(pb[n, c, :L]))),
-                    etot=numpy.concatenate(([0.0], numpy.cumsum(pe[n, c, :L]))),
-                )
-                for start, end in engine._find_regions(post, L):
-                    for ienv, jenv in engine._split_region(post, start, end):
-                        envelopes.append((n, int(self.local[p, 1]), ienv, jenv))
+                out.setdefault((s, p), [])
+                if over[n, c]:
+                    # more regions/envelopes than the device slots hold:
+                    # exact host fallback for this pair
+                    out[(s, p)] = engine.define_domains(
+                        self.profiles[p], sequences[s]
+                    )
+                    continue
+                for k in range(env_i.shape[-1]):
+                    i0, j0 = int(env_i[n, c, k]), int(env_j[n, c, k])
+                    if j0 >= i0:
+                        envelopes.append((n, int(self.local[p, 1]), i0, j0))
                         totals.append(float(score[n, c]))
                         env_pair.append((s, p))
-                out.setdefault((s, p), [])
 
             if not envelopes:
                 continue
-            res = align_kern(
-                seqs_b, envelopes, totals, pad_to=pad_to, interpret=interpret
+            # stage 3b: envelope cells address the SAME pack rows
+            # (envelopes are keyed by entry index n → seq_rows=krows)
+            res = align_kern.call_packed(
+                pack, krows, envelopes, totals, interpret=interpret
             )
-            for (s, p), (n, _loc, ienv, jenv), r in zip(env_pair, envelopes, res):
+            for (s, p), (_n, _loc, ienv, jenv), r in zip(env_pair, envelopes, res):
                 gm = self.profiles[p]
-                x = sequences[s]
-                L = len(x)
+                L = len(sequences[s])
                 loop, _ = length_model(L)
                 Ld = jenv - ienv + 1
                 envsc = r["envsc"] + (L - Ld) * loop
-                odds = numpy.exp(numpy.where(
-                    numpy.isfinite(gm.msc[1:, :]), gm.msc[1:, :], -745.0))
-                matocc = r["matocc"][: gm.M]
-                total_occ = matocc.sum() + r["insocc"] + r["xocc"]
-                null2 = (matocc @ odds + (r["insocc"] + r["xocc"])) / max(total_occ, 1e-30)
-                null2 = numpy.maximum(null2, 1e-300)
-                correction = float(numpy.log(null2[x[ienv - 1: jenv]]).sum())
-                dombias = float(numpy.logaddexp(0.0, math.log(engine.OMEGA) + correction))
+                dombias = float(numpy.logaddexp(
+                    0.0, math.log(engine.OMEGA) + r["corr"]
+                ))
                 bits = (envsc - (null1_score(L) + dombias)) / LOG2
                 tau, lam = gm.hmm.stats.get("FORWARD", (0.0, LOG2))
                 out[(s, p)].append(DomainHit(

@@ -30,10 +30,11 @@ from .profile import length_model
 
 __all__ = [
     "msv_scores_pallas", "MSVKernel", "SSVKernel", "ForwardKernel",
-    "PairForwardKernel", "PairBucketed", "Bucketed",
+    "PairForwardKernel", "PairBucketed", "Bucketed", "SeqPack",
 ]
 
 NEG = -1e30
+LOG2 = math.log(2.0)
 
 
 def _auto_interpret(interpret: bool) -> bool:
@@ -43,6 +44,101 @@ def _auto_interpret(interpret: bool) -> bool:
     import jax
 
     return jax.default_backend() != "tpu"
+
+
+class SeqPack:
+    """A batch of encoded sequences resident on the device.
+
+    The remote-attached TPU moves host↔device bytes ~30 MB/s, so the
+    pipeline uploads every sequence exactly ONCE per search; all kernel
+    stages then address rows of the same device tensors through int32
+    row-index gathers (device-side, HBM-bandwidth cheap).
+
+    Rows are padded to a power-of-two multiple of 8 so downstream grid
+    shapes stay within O(log S) compiled variants.
+    """
+
+    def __init__(self, sequences: Sequence["numpy.ndarray"], pad_to: int):
+        import jax.numpy as jnp
+
+        from .profile import null1_score
+
+        S = len(sequences)
+        self.S = S
+        self.Lp = pad_to
+        n = max(8, _round_up(S, 8))
+        n = 8 * (1 << (((n // 8) - 1).bit_length()))
+        self.n = n
+        xs = numpy.zeros((n, pad_to), dtype=numpy.int8)
+        lens = numpy.zeros(n, dtype=numpy.int32)
+        loops_log = numpy.zeros(n, dtype=numpy.float32)
+        moves_log = numpy.full(n, -1.0, dtype=numpy.float32)
+        nullsc = numpy.zeros(n, dtype=numpy.float32)
+        counts = numpy.zeros((n, 20), dtype=numpy.float32)
+        for i, x in enumerate(sequences):
+            L = len(x)
+            xs[i, :L] = x
+            lens[i] = L
+            loop, move = length_model(L)
+            loops_log[i] = loop
+            moves_log[i] = move
+            nullsc[i] = null1_score(L)
+            counts[i] = numpy.bincount(
+                numpy.minimum(x, 20), minlength=21
+            )[:20]
+        self.counts = jnp.asarray(counts)
+        # one h2d transfer of int8 residues; widen on device
+        self.xs = jnp.asarray(xs).astype(jnp.int32)
+        self.lens = jnp.asarray(lens)
+        self.loops_log = jnp.asarray(loops_log)
+        self.moves_log = jnp.asarray(moves_log)
+        self.loops_exp = jnp.exp(self.loops_log)
+        self.moves_exp = jnp.exp(self.moves_log)
+        self.nullsc = jnp.asarray(nullsc)
+        self.valid = jnp.asarray(numpy.arange(n) < S)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_pack_mask(P: int, W: int, bias: bool):
+    """Epilogue: threshold filter scores on device, bit-pack survivors.
+
+    ``keep[s, p] = score >= filtersc[s, p] + thr[p]`` packed
+    little-endian into ``[n, W]`` uint32 words — a ~30× smaller d2h
+    transfer than the raw score matrix.  With ``bias`` the null is the
+    HMMER-style composition filter ``logaddexp(null1, bias) - log 2``
+    (one small MXU matmul); otherwise plain ``null1``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def run(scores, nullsc, thr, valid, counts, logratio):
+        null = nullsc[:, None]
+        if bias:
+            delta = counts @ logratio  # [n, P] bias - null1 (nats)
+            null = null + jnp.logaddexp(0.0, delta) - LOG2
+        keep = scores >= (null + thr[None, :])
+        keep = jnp.logical_and(keep, valid[:, None])
+        pad = W * 32 - P
+        if pad:
+            keep = jnp.pad(keep, ((0, 0), (0, pad)))
+        bits = keep.reshape(keep.shape[0], W, 32).astype(jnp.uint32)
+        weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+        return jnp.sum(bits * weights[None, None, :], axis=-1, dtype=jnp.uint32)
+
+    return jax.jit(run)
+
+
+def bias_logratio(bank: ProfileBank) -> "numpy.ndarray":
+    """``log(compo_p[a] / bg[a])`` per profile — the composition filter.
+
+    ``compo_p`` is the profile's mean match emission distribution (the
+    analog of HMMER's ``COMPO`` line); derived from the bank's odds
+    tensor: ``mean_k e_odds[a, p, k] = compo_p[a] / bg[a]``.
+    Returns ``[20, P]`` float32.
+    """
+    sums = bank.e_odds[:20].sum(axis=2)            # [20, P]
+    ratio = sums / numpy.maximum(bank.lengths, 1)[None, :]
+    return numpy.log(numpy.maximum(ratio, 1e-30)).astype(numpy.float32)
 
 
 @functools.lru_cache(maxsize=None)
@@ -229,6 +325,15 @@ class MSVKernel:
         )
         return numpy.asarray(out)[:S, : self.bank.P]
 
+    def scores_packed(self, pack: SeqPack, interpret: bool = False):
+        """Device-resident scores ``[pack.n, P_pad]`` — no transfers."""
+        fn = _pallas_filter_packed(
+            "msv", self.P_pad, self.bank.Mp, pack.Lp, self.seq_tile,
+            self.Pc, self.masked, _auto_interpret(interpret),
+        )
+        return fn(pack.xs, pack.lens, pack.loops_log, pack.moves_log,
+                  self.e_log, self.tbm)
+
 
 @functools.lru_cache(maxsize=None)
 def _pallas_ssv(P: int, Mp: int, Lp: int, S: int, Pc: int, masked: bool, interpret: bool):
@@ -292,6 +397,30 @@ def _pallas_ssv(P: int, Mp: int, Lp: int, S: int, Pc: int, masked: bool, interpr
             out_shape=jax.ShapeDtypeStruct((St * S, P), jnp.float32),
             interpret=interpret,
         )(xs, lens, loops, moves, e_log, tbm)
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_filter_packed(kind: str, P: int, Mp: int, Lp: int, S: int, Pc: int,
+                          masked: bool, interpret: bool):
+    """Device-array entry to a filter kernel: reshape rows on device."""
+    import jax
+
+    inner = (_pallas_ssv if kind == "ssv" else _pallas_msv)(
+        P, Mp, Lp, S, Pc, masked, interpret
+    )
+
+    def run(xs, lens, loops, moves, e_log, tbm):
+        n = xs.shape[0]
+        St = n // S
+        return inner(
+            xs.reshape(St, S, Lp),
+            lens.reshape(St, 1, S),
+            loops.reshape(St, 1, S),
+            moves.reshape(St, 1, S),
+            e_log, tbm,
+        )
 
     return jax.jit(run)
 
@@ -361,6 +490,15 @@ class SSVKernel:
         )
         return numpy.asarray(out)[:S, : self.bank.P]
 
+    def scores_packed(self, pack: SeqPack, interpret: bool = False):
+        """Device-resident scores ``[pack.n, P_pad]`` — no transfers."""
+        fn = _pallas_filter_packed(
+            "ssv", self.P_pad, self.bank.Mp, pack.Lp, self.seq_tile,
+            self.Pc, self.masked, _auto_interpret(interpret),
+        )
+        return fn(pack.xs, pack.lens, pack.loops_log, pack.moves_log,
+                  self.e_log, self.tbm)
+
 
 class Bucketed:
     """Length-bucketed wrapper around a single-bank kernel class.
@@ -390,6 +528,55 @@ class Bucketed:
         out = numpy.zeros((len(sequences), self.bank.P), dtype=numpy.float32)
         for idx, kern in self.buckets:
             out[:, idx] = kern(sequences, pad_to=pad_to, interpret=interpret)
+        return out
+
+    def masks(self, pack: SeqPack, F1: float, interpret: bool = False,
+              bias: bool = True) -> "numpy.ndarray":
+        """Gumbel-filter survivor matrix ``[S, P]`` (bool).
+
+        Thresholds the filter scores ON DEVICE (``pv <= F1`` rewritten
+        as a per-(sequence, profile) score threshold — the Gumbel
+        survival function is monotone) and transfers only bit-packed
+        words: ~30× fewer d2h bytes than raw scores, which dominates
+        wall clock on remote-attached devices.  ``bias`` applies the
+        HMMER-style composition bias filter null (on by default, like
+        hmmsearch).
+        """
+        import jax.numpy as jnp
+
+        if F1 < 1e-13:  # below the exact branch's resolution: tail form
+            y_thr = -math.log(F1)
+        else:
+            y_thr = -math.log(-math.log1p(-F1))
+        if bias and not hasattr(self, "_logratio"):
+            self._logratio = [
+                jnp.asarray(bias_logratio(kern.bank)) for _i, kern in self.buckets
+            ]
+        out = numpy.zeros((pack.S, self.bank.P), dtype=bool)
+        collected = []
+        for b, (idx, kern) in enumerate(self.buckets):
+            scores = kern.scores_packed(pack, interpret=interpret)
+            sub = kern.bank
+            P_pad = scores.shape[1]
+            thr = numpy.full(P_pad, numpy.inf, dtype=numpy.float32)
+            thr[: sub.P] = LOG2 * (sub.msv_mu + y_thr / sub.msv_lambda)
+            W = (P_pad + 31) // 32
+            if bias:
+                lr = self._logratio[b]
+                if lr.shape[1] != P_pad:
+                    lr = jnp.pad(lr, ((0, 0), (0, P_pad - lr.shape[1])))
+                    self._logratio[b] = lr
+            else:
+                lr = jnp.zeros((20, P_pad), dtype=jnp.float32)
+            packed = _jit_pack_mask(P_pad, W, bias)(
+                scores, pack.nullsc, jnp.asarray(thr), pack.valid,
+                pack.counts, lr,
+            )
+            collected.append((idx, sub.P, W, packed))
+        for idx, subP, W, packed in collected:
+            words = numpy.ascontiguousarray(numpy.asarray(packed))
+            bits = numpy.unpackbits(words.view(numpy.uint8), bitorder="little")
+            out[:, idx] = bits.reshape(pack.n, W * 32)[: pack.S, : subP].astype(bool)
         return out
 
 
@@ -619,6 +806,36 @@ def _pallas_pair_fwd(Mp: int, Lp: int, C: int, masked: bool, interpret: bool):
     return jax.jit(run)
 
 
+@functools.lru_cache(maxsize=None)
+def _pallas_pair_fwd_packed(Mp: int, Lp: int, C: int, masked: bool,
+                            interpret: bool, with_ranges: bool):
+    """Packed-batch entry: gather sequence rows on device, then DP."""
+    import jax
+
+    inner = _pallas_pair_fwd(Mp, Lp, C, masked, interpret)
+
+    def run(xs_all, lens_all, loops_all, moves_all, rows, valid, idx,
+            starts, ends, e_odds, *trans):
+        n = rows.shape[0]
+        St = n // 8
+        xs = xs_all[rows]
+        if with_ranges:
+            s0, e0 = starts, ends
+        else:
+            s0 = starts  # zeros
+            e0 = lens_all[rows] * valid
+        loops = loops_all[rows]
+        moves = moves_all[rows]
+        return inner(
+            xs.reshape(St, 8, Lp),
+            s0.reshape(St, 1, 8), e0.reshape(St, 1, 8),
+            loops.reshape(St, 1, 8), moves.reshape(St, 1, 8),
+            idx, e_odds, *trans,
+        )
+
+    return jax.jit(run)
+
+
 class PairForwardKernel:
     """Pair-dense Pallas Forward: per-sequence survivor sub-banks.
 
@@ -655,13 +872,29 @@ class PairForwardKernel:
         the full-length model (HMMER's envelope rescore).  Returns
         ``[S, C0]`` float32.
         """
-        import jax.numpy as jnp
-
         S = len(sequences)
         if S == 0 or pair_idx.shape[1] == 0:
             return numpy.zeros((S, pair_idx.shape[1]), dtype=numpy.float32)
         Lp = pad_to or _round_up(max(len(x) for x in sequences), 32)
-        C0 = pair_idx.shape[1]
+        pack = SeqPack(sequences, Lp)
+        return self.call_packed(
+            pack, numpy.arange(S, dtype=numpy.int32), pair_idx,
+            interpret=interpret, ranges=ranges,
+        )
+
+    def call_packed(self, pack: SeqPack, rows, pair_idx, interpret=False,
+                    ranges=None):
+        """Forward scores for pairs addressed into a :class:`SeqPack`.
+
+        ``rows[r]`` is the pack row of kernel row ``r``; ``pair_idx`` as
+        in :meth:`__call__`.  Only O(rows) index bytes move host→device.
+        """
+        import jax.numpy as jnp
+
+        R = len(rows)
+        C0 = pair_idx.shape[1] if R else 0
+        if R == 0 or C0 == 0:
+            return numpy.zeros((R, C0), dtype=numpy.float32)
         # survivor-row granularity: multiples of 16 up to 64 (the common
         # range at F1=0.02), powers of two above — bounded compile count
         # without padding a ~40-survivor row all the way to 64+
@@ -669,39 +902,34 @@ class PairForwardKernel:
             C = max(8, _round_up(C0, 16))
         else:
             C = 1 << (C0 - 1).bit_length()
-        St = _round_up(S, 8) // 8
+        St = _round_up(R, 8) // 8
         St = 1 << (St - 1).bit_length()
         n = St * 8
-        xs = numpy.zeros((n, Lp), dtype=numpy.int32)
-        starts = numpy.zeros(n, dtype=numpy.int32)
-        ends = numpy.zeros(n, dtype=numpy.int32)
-        loops = numpy.zeros(n, dtype=numpy.float32)
-        moves = numpy.full(n, 0.5, dtype=numpy.float32)
-        for i, x in enumerate(sequences):
-            L = len(x)
-            xs[i, :L] = x
-            if ranges is not None:
-                starts[i], ends[i] = int(ranges[i][0]), int(ranges[i][1])
-            else:
-                ends[i] = L
-            loop, move = length_model(L)
-            loops[i] = math.exp(loop)
-            moves[i] = math.exp(move)
+        rows_p = numpy.zeros(n, dtype=numpy.int32)
+        rows_p[:R] = rows
+        valid = numpy.zeros(n, dtype=numpy.int32)
+        valid[:R] = 1
         idx = numpy.zeros((n, C), dtype=numpy.int32)
-        idx[:S, :C0] = pair_idx
-        fn = _pallas_pair_fwd(
-            self.bank.Mp, Lp, C, self.masked, _auto_interpret(interpret)
+        idx[:R, :C0] = pair_idx
+        if ranges is not None:
+            starts = numpy.zeros(n, dtype=numpy.int32)
+            ends = numpy.zeros(n, dtype=numpy.int32)
+            for r in range(R):
+                starts[r], ends[r] = int(ranges[r][0]), int(ranges[r][1])
+        else:
+            starts = numpy.zeros(n, dtype=numpy.int32)
+            ends = starts
+        fn = _pallas_pair_fwd_packed(
+            self.bank.Mp, pack.Lp, C, self.masked,
+            _auto_interpret(interpret), ranges is not None,
         )
         out = fn(
-            jnp.asarray(xs.reshape(St, 8, Lp)),
-            jnp.asarray(starts.reshape(St, 1, 8)),
-            jnp.asarray(ends.reshape(St, 1, 8)),
-            jnp.asarray(loops.reshape(St, 1, 8)),
-            jnp.asarray(moves.reshape(St, 1, 8)),
-            jnp.asarray(idx),
+            pack.xs, pack.lens, pack.loops_exp, pack.moves_exp,
+            jnp.asarray(rows_p), jnp.asarray(valid), jnp.asarray(idx),
+            jnp.asarray(starts), jnp.asarray(ends),
             self.e_odds, *self.trans,
         )
-        return numpy.asarray(out)[:S, :C0]
+        return numpy.asarray(out)[:R, :C0]
 
 
 @functools.lru_cache(maxsize=None)
@@ -944,6 +1172,33 @@ def _pallas_pair_posterior(Mp: int, Lp: int, C: int, masked: bool, interpret: bo
     return jax.jit(run)
 
 
+@functools.lru_cache(maxsize=None)
+def _pallas_pair_posterior_packed(Mp: int, Lp: int, C: int, masked: bool,
+                                  interpret: bool):
+    """Packed-batch entry: gather sequence rows on device, then DP."""
+    import jax
+    import jax.numpy as jnp
+
+    inner = _pallas_pair_posterior(Mp, Lp, C, masked, interpret)
+
+    def run(xs_all, lens_all, loops_all, moves_all, rows, valid, idx,
+            e_odds, *trans):
+        n = rows.shape[0]
+        St = n // 8
+        xs = xs_all[rows]
+        lens = jnp.maximum(lens_all[rows] * valid, 1)
+        loops = loops_all[rows]
+        moves = moves_all[rows]
+        return inner(
+            xs.reshape(St, 8, Lp),
+            lens.reshape(St, 1, 8),
+            loops.reshape(St, 1, 8), moves.reshape(St, 1, 8),
+            idx, e_odds, *trans,
+        )
+
+    return jax.jit(run)
+
+
 class PairPosteriorKernel:
     """Pair-dense posterior trajectories for domain definition (stage 3a).
 
@@ -965,46 +1220,51 @@ class PairPosteriorKernel:
         ))
 
     def __call__(self, sequences, pair_idx, pad_to=None, interpret=False):
-        import jax.numpy as jnp
-
         S = len(sequences)
         C0 = pair_idx.shape[1] if S else 0
         if S == 0 or C0 == 0:
             z = numpy.zeros((S, C0), dtype=numpy.float32)
             return z, z[:, :, None], z[:, :, None], z[:, :, None]
         Lp = pad_to or _round_up(max(len(x) for x in sequences), 32)
+        pack = SeqPack(sequences, Lp)
+        score, mocc, pb, pe = self.call_packed(
+            pack, numpy.arange(S, dtype=numpy.int32), pair_idx,
+            interpret=interpret,
+        )
+        return (numpy.asarray(score), numpy.asarray(mocc),
+                numpy.asarray(pb), numpy.asarray(pe))
+
+    def call_packed(self, pack: SeqPack, rows, pair_idx, interpret=False):
+        """DEVICE-resident trajectories for pairs addressed into a pack.
+
+        Returns jnp arrays ``(score [R, C0], mocc/pb/pe [R, C0, Lp])``
+        with no host transfer — feed them to the on-device envelope
+        finder and fetch only its coordinates.
+        """
+        import jax.numpy as jnp
+
+        R = len(rows)
+        C0 = pair_idx.shape[1] if R else 0
         C = max(8, _round_up(C0, 8))
-        St = _round_up(S, 8) // 8
+        St = _round_up(R, 8) // 8
         St = 1 << (St - 1).bit_length()
         n = St * 8
-        xs = numpy.zeros((n, Lp), dtype=numpy.int32)
-        lens = numpy.ones(n, dtype=numpy.int32)
-        loops = numpy.full(n, 0.5, dtype=numpy.float32)
-        moves = numpy.full(n, 0.5, dtype=numpy.float32)
-        for i, x in enumerate(sequences):
-            L = len(x)
-            xs[i, :L] = x
-            lens[i] = max(L, 1)
-            loop, move = length_model(L)
-            loops[i] = math.exp(loop)
-            moves[i] = math.exp(move)
+        rows_p = numpy.zeros(n, dtype=numpy.int32)
+        rows_p[:R] = rows
+        valid = numpy.zeros(n, dtype=numpy.int32)
+        valid[:R] = 1
         idx = numpy.zeros((n, C), dtype=numpy.int32)
-        idx[:S, :C0] = pair_idx
-        fn = _pallas_pair_posterior(
-            self.bank.Mp, Lp, C, self.masked, _auto_interpret(interpret)
+        idx[:R, :C0] = pair_idx
+        fn = _pallas_pair_posterior_packed(
+            self.bank.Mp, pack.Lp, C, self.masked, _auto_interpret(interpret)
         )
         score, mocc, pb, pe = fn(
-            jnp.asarray(xs.reshape(St, 8, Lp)),
-            jnp.asarray(lens.reshape(St, 1, 8)),
-            jnp.asarray(loops.reshape(St, 1, 8)),
-            jnp.asarray(moves.reshape(St, 1, 8)),
-            jnp.asarray(idx),
+            pack.xs, pack.lens, pack.loops_exp, pack.moves_exp,
+            jnp.asarray(rows_p), jnp.asarray(valid), jnp.asarray(idx),
             self.e_odds, *self.trans,
         )
-        return (numpy.asarray(score)[:S, :C0],
-                numpy.asarray(mocc)[:S, :C0],
-                numpy.asarray(pb)[:S, :C0],
-                numpy.asarray(pe)[:S, :C0])
+        return (score[:R, :C0], mocc[:R, :C0],
+                pb[:R, :C0], pe[:R, :C0])
 
 
 @functools.lru_cache(maxsize=None)
@@ -1015,8 +1275,10 @@ def _pallas_pair_align(Mp: int, Lp: int, C: int, masked: bool, interpret: bool):
     and ``[ienv, jenv]`` window), computes in one kernel:
 
     * the envelope Forward rescore (fresh DP over ``x[ienv..jenv]``);
-    * null2 occupancies: per-node match posterior mass over the
-      envelope (``matocc``), total insert mass, total non-homology mass;
+    * the null2 bias correction ``Σ log null2(x_i)`` over the envelope,
+      computed IN KERNEL from the match/insert/non-homology posterior
+      occupancies (``p7_GNull2`` analog) so only one scalar per
+      envelope ever leaves the chip;
     * optimal-accuracy alignment coordinates — the posterior-max local
       path's endpoints, recovered WITHOUT traceback by propagating the
       path's start coordinates through the max DP as payload planes.
@@ -1037,9 +1299,9 @@ def _pallas_pair_align(Mp: int, Lp: int, C: int, masked: bool, interpret: bool):
                total_ref,
                e_ref, tmm_ref, tim_ref, tdm_ref, tmi_ref, tii_ref,
                tmd_ref, tdd_ref, bm_ref,
-               envsc_ref, matocc_ref, insocc_ref, xocc_ref,
+               envsc_ref, corr_ref,
                tf_ref, tt_ref, hf_ref, ht_ref,
-               bM_s, bI_s, blog_s, bN_s, bJ_s, bC_s):
+               bM_s, bI_s, blog_s, bN_s, bJ_s, bC_s, logn2_s):
         j = pl.program_id(1)
         lane = jax.lax.broadcasted_iota(jnp.int32, (C, Mp), dimension=1)
         first_lane = lane == 0
@@ -1319,13 +1581,35 @@ def _pallas_pair_align(Mp: int, Lp: int, C: int, masked: bool, interpret: bool):
         out = jax.lax.fori_loop(0, L, fstep, init)
         eC_f, elog_f = out[14], out[15]
         envsc_ref[0, j, :] = (jnp.log(eC_f * emove + 1e-38) + elog_f)[:, 0]
-        matocc_ref[0, 0] = out[30]
-        insocc_ref[0, j, :] = jnp.sum(out[31], axis=1)
-        xocc_ref[0, j, :] = out[32][:, 0]
         tf_ref[0, j, :] = out[26][:, 0]
         tt_ref[0, j, :] = out[27][:, 0]
         hf_ref[0, j, :] = out[28][:, 0]
         ht_ref[0, j, :] = out[29][:, 0]
+
+        # ---- pass 3: null2 bias correction over the envelope
+        # (p7_GNull2 analog): the envelope's null2 odds per residue
+        # class are occupancy-weighted emission odds; the correction is
+        # the log-odds sum over envelope residues.  Computing it here
+        # shrinks the per-envelope output from an [Mp] occupancy vector
+        # to ONE scalar — transfers dominate on remote-attached chips.
+        matocc = out[30]                                   # [C, Mp]
+        insocc = jnp.sum(out[31], axis=1, keepdims=True)   # [C, 1]
+        xocc = out[32]                                     # [C, 1]
+        total_occ = jnp.sum(matocc, axis=1, keepdims=True) + insocc + xocc
+        inv_tot = 1.0 / jnp.maximum(total_occ, 1e-30)
+        for a in range(21):
+            dot = jnp.sum(matocc * e_ref[a, 0], axis=1, keepdims=True)
+            n2 = (dot + insocc + xocc) * inv_tot
+            logn2_s[a, :] = jnp.log(jnp.maximum(n2, 1e-300))[:, 0]
+
+        def nstep(i0, corr):
+            i_f = jnp.float32(0) + (i0 + 1)
+            xi = xs_ref[0, j, i0]
+            in_env = jnp.logical_and(i_f >= iv, i_f <= jv)  # [C, 1]
+            return corr + jnp.where(in_env, logn2_s[xi, :][:, None], 0.0)
+
+        corr = jax.lax.fori_loop(0, L, nstep, z1)
+        corr_ref[0, j, :] = corr[:, 0]
 
     def run(xs, lens, loops, moves, ienv, jenv, totals, idx, e_odds, *trans):
         St = xs.shape[0]
@@ -1354,20 +1638,11 @@ def _pallas_pair_align(Mp: int, Lp: int, C: int, masked: bool, interpret: bool):
                 *trans_specs,
             ],
             out_specs=[
-                out_c,
-                pl.BlockSpec((1, 1, C, Mp), lambda t, j: (t, j, 0, 0),
-                             memory_space=pltpu.VMEM),
                 out_c, out_c, out_c, out_c, out_c, out_c,
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((St, 8, C), jnp.float32),
-                jax.ShapeDtypeStruct((St, 8, C, Mp), jnp.float32),
-                jax.ShapeDtypeStruct((St, 8, C), jnp.float32),
-                jax.ShapeDtypeStruct((St, 8, C), jnp.float32),
-                jax.ShapeDtypeStruct((St, 8, C), jnp.float32),
-                jax.ShapeDtypeStruct((St, 8, C), jnp.float32),
-                jax.ShapeDtypeStruct((St, 8, C), jnp.float32),
-                jax.ShapeDtypeStruct((St, 8, C), jnp.float32),
+                jax.ShapeDtypeStruct((St, 8, C), jnp.float32)
+                for _ in range(6)
             ],
             scratch_shapes=[
                 pltpu.VMEM((Lp, C, Mp), jnp.bfloat16),  # bM rows
@@ -1376,14 +1651,42 @@ def _pallas_pair_align(Mp: int, Lp: int, C: int, masked: bool, interpret: bool):
                 pltpu.VMEM((Lp, C), jnp.float32),       # log bN
                 pltpu.VMEM((Lp, C), jnp.float32),       # log bJ
                 pltpu.VMEM((Lp, C), jnp.float32),       # log bC
+                pltpu.VMEM((24, C), jnp.float32),       # log null2 by class
             ],
             interpret=interpret,
         )(xs, lens, loops, moves, ienv, jenv, totals, e_g, *trans_g)
-        envsc, matocc, insocc, xocc, tf, tt, hf, ht = outs
-        return (envsc.reshape(S, C), matocc.reshape(S, C, Mp),
-                insocc.reshape(S, C), xocc.reshape(S, C),
+        envsc, corr, tf, tt, hf, ht = outs
+        return (envsc.reshape(S, C), corr.reshape(S, C),
                 tf.reshape(S, C), tt.reshape(S, C),
                 hf.reshape(S, C), ht.reshape(S, C))
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_pair_align_packed(Mp: int, Lp: int, C: int, masked: bool,
+                              interpret: bool):
+    """Packed-batch entry: gather cell sequences on device, then DP."""
+    import jax
+    import jax.numpy as jnp
+
+    inner = _pallas_pair_align(Mp, Lp, C, masked, interpret)
+
+    def run(xs_all, lens_all, loops_all, moves_all, rows, valid,
+            ienv, jenv, totals, idx, e_odds, *trans):
+        n = rows.shape[0]
+        St = n // 8
+        xs = xs_all[rows]
+        lens = jnp.maximum(lens_all[rows] * valid, 1)
+        loops = loops_all[rows]
+        moves = moves_all[rows]
+        return inner(
+            xs.reshape(St, 8, Lp),
+            lens.reshape(St, 1, 8),
+            loops.reshape(St, 1, 8), moves.reshape(St, 1, 8),
+            ienv.reshape(St, 8, C), jenv.reshape(St, 8, C),
+            totals.reshape(St, 8, C), idx, e_odds, *trans,
+        )
 
     return jax.jit(run)
 
@@ -1394,8 +1697,8 @@ class PairAlignKernel:
     One call scores a batch of envelopes: ``envelopes[i]`` is
     ``(seq_index, profile_row, ienv, jenv)`` (1-based inclusive window).
     Returns dicts keyed by envelope index with the envelope Forward
-    score, null2 occupancy statistics, and alignment coordinates,
-    matching ``engine.define_domains``'s per-envelope numbers (f32).
+    score, null2 bias correction, and alignment coordinates, matching
+    ``engine.define_domains``'s per-envelope numbers (f32).
     """
 
     def __init__(self, bank: ProfileBank):
@@ -1410,12 +1713,28 @@ class PairAlignKernel:
         ))
 
     def __call__(self, sequences, envelopes, totals, pad_to=None, interpret=False):
+        NE = len(envelopes)
+        if NE == 0:
+            return []
+        Lp = pad_to or _round_up(max(len(x) for x in sequences), 32)
+        pack = SeqPack(sequences, Lp)
+        return self.call_packed(
+            pack, numpy.arange(len(sequences), dtype=numpy.int32),
+            envelopes, totals, interpret=interpret,
+        )
+
+    def call_packed(self, pack: SeqPack, seq_rows, envelopes, totals,
+                    interpret=False):
+        """:meth:`__call__` addressed into an uploaded :class:`SeqPack`.
+
+        ``envelopes[i]`` indexes sequences by caller-local index ``s``;
+        ``seq_rows[s]`` maps it to its pack row.
+        """
         import jax.numpy as jnp
 
         NE = len(envelopes)
         if NE == 0:
             return []
-        Lp = pad_to or _round_up(max(len(x) for x in sequences), 32)
         # group envelopes by sequence: one grid cell per sequence, up to
         # C rows; sequences with more envelopes repeat in another cell
         C = 8
@@ -1431,47 +1750,34 @@ class PairAlignKernel:
         n_cells = len(cells)
         St = max(1, 1 << (((n_cells + 7) // 8) - 1).bit_length())
         n = St * 8
-        xs = numpy.zeros((n, Lp), dtype=numpy.int32)
-        lens = numpy.ones(n, dtype=numpy.int32)
-        loops = numpy.full(n, 0.5, dtype=numpy.float32)
-        moves = numpy.full(n, 0.5, dtype=numpy.float32)
+        rows_p = numpy.zeros(n, dtype=numpy.int32)
+        valid = numpy.zeros(n, dtype=numpy.int32)
         ienv = numpy.ones((n, C), dtype=numpy.float32)
         jenv = numpy.zeros((n, C), dtype=numpy.float32)  # empty window
         tot = numpy.zeros((n, C), dtype=numpy.float32)
         idx = numpy.zeros((n, C), dtype=numpy.int32)
         for c, members in enumerate(cells):
             s = envelopes[members[0]][0]
-            x = sequences[s]
-            L = len(x)
-            xs[c, :L] = x
-            lens[c] = max(L, 1)
-            loop, move = length_model(L)
-            loops[c] = math.exp(loop)
-            moves[c] = math.exp(move)
+            rows_p[c] = seq_rows[s]
+            valid[c] = 1
             for r, ne in enumerate(members):
                 _s, p, i0, j0 = envelopes[ne]
                 idx[c, r] = p
                 ienv[c, r] = i0
                 jenv[c, r] = j0
                 tot[c, r] = totals[ne]
-        fn = _pallas_pair_align(
-            self.bank.Mp, Lp, C, self.masked, _auto_interpret(interpret)
+        fn = _pallas_pair_align_packed(
+            self.bank.Mp, pack.Lp, C, self.masked, _auto_interpret(interpret)
         )
-        envsc, matocc, insocc, xocc, tf, tt, hf, ht = fn(
-            jnp.asarray(xs.reshape(St, 8, Lp)),
-            jnp.asarray(lens.reshape(St, 1, 8)),
-            jnp.asarray(loops.reshape(St, 1, 8)),
-            jnp.asarray(moves.reshape(St, 1, 8)),
-            jnp.asarray(ienv.reshape(St, 8, C)),
-            jnp.asarray(jenv.reshape(St, 8, C)),
-            jnp.asarray(tot.reshape(St, 8, C)),
-            jnp.asarray(idx.reshape(n, C)),
+        envsc, corr, tf, tt, hf, ht = fn(
+            pack.xs, pack.lens, pack.loops_exp, pack.moves_exp,
+            jnp.asarray(rows_p), jnp.asarray(valid),
+            jnp.asarray(ienv), jnp.asarray(jenv), jnp.asarray(tot),
+            jnp.asarray(idx),
             self.e_odds, *self.trans,
         )
         envsc = numpy.asarray(envsc)
-        matocc = numpy.asarray(matocc)
-        insocc = numpy.asarray(insocc)
-        xocc = numpy.asarray(xocc)
+        corr = numpy.asarray(corr)
         tf = numpy.asarray(tf)
         tt = numpy.asarray(tt)
         hf = numpy.asarray(hf)
@@ -1485,9 +1791,7 @@ class PairAlignKernel:
             c, r = place[ne]
             results.append({
                 "envsc": float(envsc[c, r]),
-                "matocc": matocc[c, r],
-                "insocc": float(insocc[c, r]),
-                "xocc": float(xocc[c, r]),
+                "corr": float(corr[c, r]),
                 "target_from": int(round(float(tf[c, r]))),
                 "target_to": int(round(float(tt[c, r]))),
                 "hmm_from": int(round(float(hf[c, r]))),
@@ -1539,6 +1843,22 @@ class PairBucketed:
         Returns ``(seq_indices, profile_indices, scores)`` — the cheap
         form for vectorized downstream thresholding.
         """
+        Lp = pad_to or _round_up(
+            max((len(x) for x in sequences), default=32), 32
+        )
+        pack = SeqPack(sequences, Lp)
+        rows = numpy.arange(len(sequences), dtype=numpy.int32)
+        return self.flat_packed(
+            pack, rows, survivors, interpret=interpret, chunk=chunk
+        )
+
+    def flat_packed(self, pack: SeqPack, seq_rows, survivors,
+                    interpret=False, chunk: int = 64):
+        """:meth:`flat` addressed into an already-uploaded :class:`SeqPack`.
+
+        ``seq_rows[s]`` is the pack row of ``survivors[s]``; only index
+        bytes move host→device.
+        """
         bucket_of = self.local[:, 0]
         row_of = self.local[:, 1]
         out_s: List["numpy.ndarray"] = []
@@ -1560,10 +1880,10 @@ class PairBucketed:
             pair_idx = numpy.zeros((len(rows), C0), dtype=numpy.int32)
             for r, (_s, mine) in enumerate(rows):
                 pair_idx[r, : len(mine)] = row_of[mine]
-            scores = kern(
-                [sequences[s] for s, _ in rows], pair_idx,
-                pad_to=pad_to, interpret=interpret,
+            krows = numpy.asarray(
+                [seq_rows[s] for s, _ in rows], dtype=numpy.int32
             )
+            scores = kern.call_packed(pack, krows, pair_idx, interpret=interpret)
             for r, (s, mine) in enumerate(rows):
                 out_s.append(numpy.full(len(mine), s, dtype=numpy.int64))
                 out_p.append(mine)

@@ -74,6 +74,7 @@ class SearchPipeline:
         max_filter: bool = False,
         backend: str = "auto",
         filter_stage: str = "ssv",
+        bias_filter: bool = True,
     ) -> None:
         self.profiles = list(profiles)
         self.Z = Z
@@ -87,6 +88,11 @@ class SearchPipeline:
         self.bit_cutoffs = bit_cutoffs
         self.use_accelerator = use_accelerator
         self.max_filter = max_filter  # True = skip filters (hmmsearch --max)
+        # composition bias filter null (p7_bg_FilterScore analog) for the
+        # F1/F3 gates — on by default, like hmmsearch; reported scores
+        # and E-values stay null1-based
+        self.bias_filter = bias_filter
+        self._logratio = None
         if backend not in ("auto", "pallas", "xla"):
             raise ValueError(f"invalid backend: {backend!r}")
         self.backend = backend
@@ -134,65 +140,101 @@ class SearchPipeline:
         lengths = numpy.array([len(x) for x in sequences])
         nullsc = numpy.array([null1_score(int(L)) for L in lengths])
 
+        # composition bias filter null (F1/F3 gates only)
+        use_bias = self.bias_filter and not self.max_filter
+        counts = None
+        if use_bias:
+            if self._logratio is None:
+                from .kernels import bias_logratio
+
+                self._logratio = bias_logratio(self._bank).astype(numpy.float64)
+            counts = numpy.zeros((len(sequences), 20), dtype=numpy.float64)
+            for i, x in enumerate(sequences):
+                counts[i] = numpy.bincount(
+                    numpy.minimum(x, 20), minlength=21
+                )[:20]
+
+        def filter_extra(s_arr, p_arr):
+            """``filtersc - nullsc`` (nats) per pair; 0 without bias."""
+            if not use_bias:
+                return numpy.zeros(len(s_arr))
+            delta = numpy.einsum(
+                "sk,ks->s", counts[s_arr], self._logratio[:, p_arr]
+            )
+            return numpy.logaddexp(0.0, delta) - LOG2
+
         # ---- stage 1 (device): SSV/MSV filter of all pairs
         backend = self._resolve_backend() if self.use_accelerator else "xla"
         pair_scores: Dict[Tuple[int, int], float] = {}
         surviving: Dict[int, List[int]] = {}
-        order = numpy.argsort(lengths, kind="stable")
-        bucket: List[int] = []
-
-        def flush(bucket: List[int]) -> None:
-            if not bucket:
-                return
-            seqs = [sequences[i] for i in bucket]
-            if self.max_filter or not self.use_accelerator:
-                for i in bucket:
-                    surviving[i] = list(range(len(self.profiles)))
-                return
-            if backend == "pallas":
-                if self._filter_kernel is None:
-                    from .kernels import Bucketed, MSVKernel, SSVKernel
-
-                    cls = SSVKernel if self.filter_stage == "ssv" else MSVKernel
-                    self._filter_kernel = Bucketed(cls, self._bank)
-                scores = self._filter_kernel(seqs, pad_to=current_cap)
-            else:
-                scorer = ssv_scores if self.filter_stage == "ssv" else msv_scores
-                scores = scorer(self._bank, seqs)  # [S, P] nats
-            bits = (scores - nullsc[bucket][:, None]) / LOG2
-            lam = self._bank.msv_lambda[None, :]
-            mu = self._bank.msv_mu[None, :]
-            y = lam * (bits - mu)
-            pv = numpy.where(y > 30, numpy.exp(-y), 1.0 - numpy.exp(-numpy.exp(-numpy.minimum(y, 30))))
-            keep = pv <= self.F1
-            for s, i in enumerate(bucket):
-                kept = numpy.nonzero(keep[s])[0].tolist()
-                if kept:
-                    surviving[i] = kept
 
         # Length-bucketing matters only for the XLA engines, whose scan
         # length is the padded shape.  The Pallas kernels bound their
         # residue loop by the true length (Lp is just buffer size), so
         # one global cap minimizes the number of compiled shapes.
         global_cap: Optional[int] = None
-        if backend == "pallas" and not self.max_filter:
+        pack = None
+        if backend == "pallas":
             longest = int(lengths.max())
             global_cap = 1 << max(9, int(math.ceil(math.log2(max(1, longest)))))
 
-        current_cap: Optional[int] = None
-        for i in order:
-            if global_cap is not None:
-                cap = global_cap
-            else:
+        if self.max_filter or not self.use_accelerator:
+            for i in range(len(sequences)):
+                surviving[i] = list(range(len(self.profiles)))
+        elif backend == "pallas":
+            # one h2d upload of all residues; every later stage indexes
+            # rows of the same device tensors (the remote-attached TPU
+            # link is ~30 MB/s — transfers, not FLOPs, set wall clock)
+            from .kernels import Bucketed, MSVKernel, SSVKernel, SeqPack
+
+            pack = SeqPack(sequences, global_cap)
+            if self._filter_kernel is None:
+                cls = SSVKernel if self.filter_stage == "ssv" else MSVKernel
+                self._filter_kernel = Bucketed(cls, self._bank)
+            keep = self._filter_kernel.masks(pack, self.F1, bias=use_bias)
+            for i in range(len(sequences)):
+                kept = numpy.nonzero(keep[i])[0].tolist()
+                if kept:
+                    surviving[i] = kept
+        else:
+            order = numpy.argsort(lengths, kind="stable")
+            bucket: List[int] = []
+
+            def flush(bucket: List[int]) -> None:
+                if not bucket:
+                    return
+                seqs = [sequences[i] for i in bucket]
+                scorer = ssv_scores if self.filter_stage == "ssv" else msv_scores
+                scores = scorer(self._bank, seqs)  # [S, P] nats
+                null = nullsc[bucket][:, None]
+                if use_bias:
+                    delta = counts[bucket] @ self._logratio  # [bS, P]
+                    null = null + numpy.logaddexp(0.0, delta) - LOG2
+                bits = (scores - null) / LOG2
+                lam = self._bank.msv_lambda[None, :]
+                mu = self._bank.msv_mu[None, :]
+                y = lam * (bits - mu)
+                pv = numpy.where(
+                    y > 30, numpy.exp(-y),
+                    1.0 - numpy.exp(-numpy.exp(-numpy.minimum(y, 30))),
+                )
+                keep = pv <= self.F1
+                for s, i in enumerate(bucket):
+                    kept = numpy.nonzero(keep[s])[0].tolist()
+                    if kept:
+                        surviving[i] = kept
+
+            current_cap: Optional[int] = None
+            for i in order:
                 cap = 1 << max(5, int(math.ceil(math.log2(max(1, lengths[i])))))
-            if current_cap is None:
-                current_cap = cap
-            if cap != current_cap or len(bucket) >= 256:
-                flush(bucket)
-                bucket = []
-                current_cap = cap
-            bucket.append(int(i))
-        flush(bucket)
+                if current_cap is None:
+                    current_cap = cap
+                if cap != current_cap or len(bucket) >= 256:
+                    flush(bucket)
+                    bucket = []
+                    current_cap = cap
+                bucket.append(int(i))
+            flush(bucket)
 
         # ---- stage 2 (device): Forward rescore of surviving pairs
         keys = sorted(surviving)
@@ -219,10 +261,9 @@ class SearchPipeline:
                 from .kernels import PairBucketed
 
                 self._pair_forward = PairBucketed(self._bank)
-            s_loc, p_arr, v_arr = self._pair_forward.flat(
-                [sequences[i] for i in keys],
+            s_loc, p_arr, v_arr = self._pair_forward.flat_packed(
+                pack, numpy.asarray(keys, dtype=numpy.int32),
                 [surviving[i] for i in keys],
-                pad_to=global_cap,
             )
             keys_arr = numpy.asarray(keys, dtype=numpy.int64)
             s_arr = keys_arr[s_loc]
@@ -231,14 +272,19 @@ class SearchPipeline:
             bits_all = (v_arr - nullsc[s_arr]) / LOG2
             tau = self._bank.fwd_tau[p_arr]
             lam = self._bank.fwd_lambda[p_arr]
-            pv_all = numpy.where(
-                bits_all <= tau, 1.0,
-                numpy.exp(-lam * numpy.maximum(bits_all - tau, 0.0)),
-            )
+            bits_filt = bits_all - filter_extra(s_arr, p_arr) / LOG2
+
+            def _pv(b):
+                return numpy.where(
+                    b <= tau, 1.0,
+                    numpy.exp(-lam * numpy.maximum(b - tau, 0.0)),
+                )
+
+            pv_all = _pv(bits_all)
             if self.max_filter:
                 keep = numpy.ones(len(s_arr), dtype=bool)
             else:
-                keep = pv_all <= self.F3
+                keep = _pv(bits_filt) <= self.F3
             if self.bit_cutoffs is None:
                 keep &= pv_all * Z <= self.E
             order2 = numpy.lexsort((p_arr[keep], s_arr[keep]))
@@ -268,12 +314,16 @@ class SearchPipeline:
         # ---- stage 3: Forward threshold, domain definition, reporting.
         # Candidate selection first (F3 / E / bit-cutoff gates):
         candidates: List[Tuple[int, int, float, float]] = []
-        for (i, p), fwd_nats in sorted(pair_scores.items()):
+        items = sorted(pair_scores.items())
+        if items:
+            ip = numpy.asarray([k for k, _v in items], dtype=numpy.int64)
+            extras = filter_extra(ip[:, 0], ip[:, 1]) / LOG2
+        for ((i, p), fwd_nats), extra in zip(items, extras if items else ()):
             gm = self.profiles[p]
             bits = (fwd_nats - nullsc[i]) / LOG2
             tau, lam = gm.hmm.stats.get("FORWARD", (0.0, math.log(2.0)))
             pv = exp_surv(bits, tau, lam)
-            if not self.max_filter and pv > self.F3:
+            if not self.max_filter and exp_surv(bits - extra, tau, lam) > self.F3:
                 continue
             cutoff = self._cutoff(gm)
             if cutoff is None:
@@ -297,7 +347,7 @@ class SearchPipeline:
                 self._pair_domains = PairDomains(self._bank, self.profiles)
             domains_of = self._pair_domains.define(
                 sequences, [(i, p) for i, p, _, _ in candidates],
-                pad_to=global_cap,
+                pad_to=global_cap, pack=pack,
             )
         else:
             rescored: List[Tuple[int, int, float, float]] = []

@@ -384,3 +384,64 @@ def test_annotator_contract(sequences):
     assert domain.name == "PF10417"
     assert domain.hmm == "Pfam"
     assert domain.i_evalue < 1e-9
+
+
+def test_calibration_fits_background_statistics(profiles):
+    """hmmbuild-style calibration: after fitting, the designed filter
+    pass rate of random background sequences matches the requested
+    P-value within sampling error, and reported Forward P-values are
+    roughly uniform (unbiased E-values)."""
+    from gecco_tpu.hmm import batch
+    from gecco_tpu.hmm.calibrate import calibrate
+    from gecco_tpu.hmm.profile import null1_score
+    from gecco_tpu.hmm.synthetic import synthetic_profiles
+
+    import math
+
+    bank_profiles = synthetic_profiles(12, min_length=30, max_length=80, seed=3)
+    calibrate(bank_profiles, n=200, L=128, seed=5, backend="xla")
+    bank = batch.ProfileBank.build(bank_profiles)
+
+    rng = numpy.random.default_rng(11)
+    from gecco_tpu.hmm.io import BACKGROUND_F
+
+    p_bg = BACKGROUND_F / BACKGROUND_F.sum()
+    xs = [rng.choice(20, size=128, p=p_bg).astype(numpy.int32) for _ in range(100)]
+    scores = numpy.asarray(batch.ssv_scores(bank, xs))
+    bits = (scores - null1_score(128)) / math.log(2.0)
+    y = bank.msv_lambda[None, :] * (bits - bank.msv_mu[None, :])
+    pv = 1.0 - numpy.exp(-numpy.exp(-numpy.clip(y, -30, 30)))
+    # designed pass rate 10%: the empirical rate should be in the
+    # same ballpark (fresh draws, 1200 trials)
+    rate = float((pv <= 0.10).mean())
+    assert 0.03 < rate < 0.3, rate
+
+
+def test_bias_filter_demotes_compositional_matches(profiles, sequences):
+    """The composition bias filter (p7_bg_FilterScore analog) kills
+    low-complexity/compositionally-biased filter passes but keeps real
+    structural hits."""
+    xs = [x for _, x in sequences]
+    # a low-complexity sequence skewed toward profile 0's mean composition
+    from gecco_tpu.hmm import batch
+    from gecco_tpu.hmm.kernels import bias_logratio
+
+    bank = batch.ProfileBank.build(profiles)
+    lr = bias_logratio(bank)
+    assert lr.shape == (20, bank.P)
+    # compo columns are log-ratios of real distributions: exp sums to ~1
+    compo = numpy.exp(lr[:, 0]) * (
+        numpy.asarray(batch.BACKGROUND_F)[:20]
+        if hasattr(batch, "BACKGROUND_F") else 1.0
+    )
+    hits_bias = SearchPipeline(profiles, Z=10, domZ=10).search(xs)
+    hits_nobias = SearchPipeline(
+        profiles, Z=10, domZ=10, bias_filter=False
+    ).search(xs)
+    strong = lambda hs: {
+        (h.sequence_index, h.profile.accession.split(".")[0])
+        for h in hs if h.evalue < 1e-6
+    }
+    # real structural hits survive the bias filter
+    assert strong(hits_bias) == strong(hits_nobias) == {
+        (0, "PF10417"), (1, "PF12574"), (2, "PF00244")}

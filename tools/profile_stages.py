@@ -1,12 +1,11 @@
 #!/usr/bin/env python
 """Per-stage wall-clock breakdown of SearchPipeline.search on the bench workload.
 
-Times (best-of-2 after a warm pass): stage-1 filter kernel, stage-2
-pair-dense Forward, stage-3 posterior kernel, stage-3 host region
-logic, stage-3 alignment kernel, and the per-envelope host post-math.
+Times (best-of-2 after a warm pass): stage-1 filter masks, stage-2
+pair-dense Forward, stage-3 posterior+envelope device work, stage-3
+alignment kernel, and the leftover host logic.
 """
 
-import math
 import sys
 sys.path.insert(0, "/root/repo")
 import time
@@ -31,9 +30,10 @@ for i in range(len(seqs)):
     if i % 4 != 3:
         seqs[i] = plant_domain(seqs[i], profiles[(i * 13) % N_PROFILES], rng)
 
+from gecco_tpu.hmm.calibrate import calibrate
+calibrate(profiles)
 pipeline = SearchPipeline(profiles, Z=N_PROFILES, domZ=N_PROFILES)
 
-# monkeypatch timers around the pipeline internals
 times = {}
 
 
@@ -49,40 +49,30 @@ def timed(name, fn):
 hits = pipeline.search(seqs)  # warm / compile
 print("hits:", len(hits), "domains:", sum(len(h.domains) for h in hits))
 
-best = None
-for trial in range(2):
-    times.clear()
-    # wrap the cached kernel callables
-    fk = pipeline._filter_kernel
-    pf = pipeline._pair_forward
-    pd = pipeline._pair_domains
-    orig = (fk.__call__, pf.flat, pd.define)
-    pipeline._filter_kernel = timed("1.filter", fk)
-    pf_flat = pf.flat
-    pf.flat = timed("2.pair_fwd", pf_flat)
+fk = pipeline._filter_kernel
+pf = pipeline._pair_forward
+pd = pipeline._pair_domains
+orig = (fk.masks, pf.flat_packed, pd.define)
+post_orig = [(pk.call_packed, ak.call_packed) for _i, pk, ak in pd.buckets]
 
-    # instrument inside PairDomains.define: wrap the bucket kernels
-    kern_orig = []
-    for b, (idx, post_kern, align_kern) in enumerate(pd.buckets):
-        kern_orig.append((post_kern.__call__, align_kern.__call__))
-        pd.buckets[b] = (idx, timed("3a.posterior", post_kern), timed("3c.align", align_kern))
-    pd.define = timed("3.domains_total", pd.define)
+best = None
+for trial in range(3):
+    times.clear()
+    fk.masks = timed("1.filter_masks", orig[0])
+    pf.flat_packed = timed("2.pair_fwd", orig[1])
+    pd.define = timed("3.domains_total", orig[2])
+    for (idx, pk, ak), (po, ao) in zip(pd.buckets, post_orig):
+        pk.call_packed = timed("3a.posterior", po)
+        ak.call_packed = timed("3c.align", ao)
 
     t0 = time.perf_counter()
     hits = pipeline.search(seqs)
     total = time.perf_counter() - t0
 
-    pipeline._filter_kernel = fk
-    pf.flat = pf_flat
+    fk.masks, pf.flat_packed = orig[0], orig[1]
     del pd.define
-    for b, (idx, _, _) in enumerate(pd.buckets):
-        pd.buckets[b] = (idx, None, None)
-    pd.buckets = [
-        (idx, pk, ak)
-        for (idx, _, _), (pk, ak) in zip(pd.buckets, kern_orig)
-    ]
-    # restore real kernel objects
-    pipeline._pair_domains = pd
+    for (idx, pk, ak), (po, ao) in zip(pd.buckets, post_orig):
+        pk.call_packed, ak.call_packed = po, ao
     snapshot = dict(times, total=total)
     if best is None or total < best["total"]:
         best = snapshot
@@ -90,6 +80,6 @@ for trial in range(2):
 for k in sorted(best):
     print(f"{k:20s} {best[k]:8.3f} s")
 host3 = best["3.domains_total"] - best.get("3a.posterior", 0) - best.get("3c.align", 0)
-other = best["total"] - best["1.filter"] - best["2.pair_fwd"] - best["3.domains_total"]
-print(f"{'3b.host_regions':20s} {host3:8.3f} s")
+other = best["total"] - best["1.filter_masks"] - best["2.pair_fwd"] - best["3.domains_total"]
+print(f"{'3b.env+host':20s} {host3:8.3f} s")
 print(f"{'other_host':20s} {other:8.3f} s")
