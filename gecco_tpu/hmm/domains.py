@@ -238,14 +238,26 @@ class PairDomains:
             res = align_kern.call_packed(
                 pack, krows, envelopes, totals, interpret=interpret
             )
+            # per-envelope residue-class counts fold with the kernel's
+            # per-class log null2 odds: Σ_i log null2(x_i) over the
+            # envelope = counts · log null2
+            class_cum: Dict[int, "numpy.ndarray"] = {}
             for (s, p), (_n, _loc, ienv, jenv), r in zip(env_pair, envelopes, res):
                 gm = self.profiles[p]
-                L = len(sequences[s])
+                x = sequences[s]
+                L = len(x)
+                if s not in class_cum:
+                    onehot = numpy.zeros((L + 1, 21), dtype=numpy.float64)
+                    onehot[numpy.arange(1, L + 1), numpy.minimum(x, 20)] = 1.0
+                    class_cum[s] = numpy.cumsum(onehot, axis=0)
+                cum = class_cum[s]
+                counts_env = cum[jenv] - cum[ienv - 1]
+                corr = float(counts_env @ r["logn2"])
                 loop, _ = length_model(L)
                 Ld = jenv - ienv + 1
                 envsc = r["envsc"] + (L - Ld) * loop
                 dombias = float(numpy.logaddexp(
-                    0.0, math.log(engine.OMEGA) + r["corr"]
+                    0.0, math.log(engine.OMEGA) + corr
                 ))
                 bits = (envsc - (null1_score(L) + dombias)) / LOG2
                 tau, lam = gm.hmm.stats.get("FORWARD", (0.0, LOG2))

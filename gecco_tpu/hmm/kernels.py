@@ -1299,7 +1299,7 @@ def _pallas_pair_align(Mp: int, Lp: int, C: int, masked: bool, interpret: bool):
                total_ref,
                e_ref, tmm_ref, tim_ref, tdm_ref, tmi_ref, tii_ref,
                tmd_ref, tdd_ref, bm_ref,
-               envsc_ref, corr_ref,
+               envsc_ref, logn2_ref,
                tf_ref, tt_ref, hf_ref, ht_ref,
                bM_s, bI_s, blog_s, bN_s, bJ_s, bC_s, logn2_s):
         j = pl.program_id(1)
@@ -1586,12 +1586,11 @@ def _pallas_pair_align(Mp: int, Lp: int, C: int, masked: bool, interpret: bool):
         hf_ref[0, j, :] = out[28][:, 0]
         ht_ref[0, j, :] = out[29][:, 0]
 
-        # ---- pass 3: null2 bias correction over the envelope
-        # (p7_GNull2 analog): the envelope's null2 odds per residue
-        # class are occupancy-weighted emission odds; the correction is
-        # the log-odds sum over envelope residues.  Computing it here
-        # shrinks the per-envelope output from an [Mp] occupancy vector
-        # to ONE scalar — transfers dominate on remote-attached chips.
+        # ---- null2 odds per residue class (p7_GNull2 analog): the
+        # envelope's null2 model emits occupancy-weighted emission
+        # odds.  Only these 21 log-odds per envelope leave the chip;
+        # the host folds them with per-envelope residue-class counts
+        # (Σ log null2(x_i) = Σ_a count_a · log null2_a).
         matocc = out[30]                                   # [C, Mp]
         insocc = jnp.sum(out[31], axis=1, keepdims=True)   # [C, 1]
         xocc = out[32]                                     # [C, 1]
@@ -1601,15 +1600,7 @@ def _pallas_pair_align(Mp: int, Lp: int, C: int, masked: bool, interpret: bool):
             dot = jnp.sum(matocc * e_ref[a, 0], axis=1, keepdims=True)
             n2 = (dot + insocc + xocc) * inv_tot
             logn2_s[a, :] = jnp.log(jnp.maximum(n2, 1e-300))[:, 0]
-
-        def nstep(i0, corr):
-            i_f = jnp.float32(0) + (i0 + 1)
-            xi = xs_ref[0, j, i0]
-            in_env = jnp.logical_and(i_f >= iv, i_f <= jv)  # [C, 1]
-            return corr + jnp.where(in_env, logn2_s[xi, :][:, None], 0.0)
-
-        corr = jax.lax.fori_loop(0, L, nstep, z1)
-        corr_ref[0, j, :] = corr[:, 0]
+        logn2_ref[0, 0] = logn2_s[...].T
 
     def run(xs, lens, loops, moves, ienv, jenv, totals, idx, e_odds, *trans):
         St = xs.shape[0]
@@ -1638,11 +1629,18 @@ def _pallas_pair_align(Mp: int, Lp: int, C: int, masked: bool, interpret: bool):
                 *trans_specs,
             ],
             out_specs=[
-                out_c, out_c, out_c, out_c, out_c, out_c,
+                out_c,
+                pl.BlockSpec((1, 1, C, 24), lambda t, j: (t, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                out_c, out_c, out_c, out_c,
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((St, 8, C), jnp.float32)
-                for _ in range(6)
+                jax.ShapeDtypeStruct((St, 8, C), jnp.float32),
+                jax.ShapeDtypeStruct((St, 8, C, 24), jnp.float32),
+                jax.ShapeDtypeStruct((St, 8, C), jnp.float32),
+                jax.ShapeDtypeStruct((St, 8, C), jnp.float32),
+                jax.ShapeDtypeStruct((St, 8, C), jnp.float32),
+                jax.ShapeDtypeStruct((St, 8, C), jnp.float32),
             ],
             scratch_shapes=[
                 pltpu.VMEM((Lp, C, Mp), jnp.bfloat16),  # bM rows
@@ -1655,8 +1653,8 @@ def _pallas_pair_align(Mp: int, Lp: int, C: int, masked: bool, interpret: bool):
             ],
             interpret=interpret,
         )(xs, lens, loops, moves, ienv, jenv, totals, e_g, *trans_g)
-        envsc, corr, tf, tt, hf, ht = outs
-        return (envsc.reshape(S, C), corr.reshape(S, C),
+        envsc, logn2, tf, tt, hf, ht = outs
+        return (envsc.reshape(S, C), logn2.reshape(S, C, 24),
                 tf.reshape(S, C), tt.reshape(S, C),
                 hf.reshape(S, C), ht.reshape(S, C))
 
@@ -1769,7 +1767,7 @@ class PairAlignKernel:
         fn = _pallas_pair_align_packed(
             self.bank.Mp, pack.Lp, C, self.masked, _auto_interpret(interpret)
         )
-        envsc, corr, tf, tt, hf, ht = fn(
+        envsc, logn2, tf, tt, hf, ht = fn(
             pack.xs, pack.lens, pack.loops_exp, pack.moves_exp,
             jnp.asarray(rows_p), jnp.asarray(valid),
             jnp.asarray(ienv), jnp.asarray(jenv), jnp.asarray(tot),
@@ -1777,7 +1775,7 @@ class PairAlignKernel:
             self.e_odds, *self.trans,
         )
         envsc = numpy.asarray(envsc)
-        corr = numpy.asarray(corr)
+        logn2 = numpy.asarray(logn2)
         tf = numpy.asarray(tf)
         tt = numpy.asarray(tt)
         hf = numpy.asarray(hf)
@@ -1791,7 +1789,7 @@ class PairAlignKernel:
             c, r = place[ne]
             results.append({
                 "envsc": float(envsc[c, r]),
-                "corr": float(corr[c, r]),
+                "logn2": logn2[c, r, :21],
                 "target_from": int(round(float(tf[c, r]))),
                 "target_to": int(round(float(tt[c, r]))),
                 "hmm_from": int(round(float(hf[c, r]))),

@@ -341,10 +341,10 @@ class SearchPipeline:
         # own pipeline (the reference's engine is f32 end-to-end).
         domains_of: Dict[Tuple[int, int], List[DomainHit]] = {}
         if self.use_accelerator and backend == "pallas":
-            from .domains import PairDomains
+            from .stream import StreamDomains
 
             if self._pair_domains is None:
-                self._pair_domains = PairDomains(self._bank, self.profiles)
+                self._pair_domains = StreamDomains(self._bank, self.profiles)
             domains_of = self._pair_domains.define(
                 sequences, [(i, p) for i, p, _, _ in candidates],
                 pad_to=global_cap, pack=pack,

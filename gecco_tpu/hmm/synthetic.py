@@ -70,22 +70,29 @@ def plant_domain(
     rng: "numpy.random.Generator",
     offset: int = 10,
     max_len: int = 100,
+    divergence: float = 0.35,
 ) -> "numpy.ndarray":
     """Overwrite part of ``x`` with residues emitted from the profile.
 
     Samples a match-state path (emissions drawn from each node's match
-    distribution, occasional node skips) so the sequence genuinely
+    distribution, occasional node skips, ``divergence`` of positions
+    substituted with background draws) so the sequence genuinely
     scores against ``gm`` — used to give benchmark workloads
     production-like hit rates so the domain-definition stage is
-    exercised.  Sampling (not argmax) keeps the segment's composition
-    realistic; argmax emissions are low-complexity and light up
-    hundreds of unrelated profiles.
+    exercised.  The divergence matters for load realism: a verbatim
+    emission trace is a ~100%-identity hit, which passes the weak SSV
+    filter against hundreds of unrelated profiles; real Pfam hits are
+    diverged homologs (seed alignments sit at ~30-60% identity) whose
+    cross-profile filter pass rate stays near the calibrated 2%.
     """
     match = gm.hmm.match[1:, :20]
     cdf = numpy.cumsum(match / match.sum(axis=1, keepdims=True), axis=1)
     u = rng.random((len(cdf), 1))
     emitted = (u > cdf).sum(axis=1).astype(numpy.int32)
     emitted = numpy.minimum(emitted, 19)
+    p_bg = BACKGROUND_F / BACKGROUND_F.sum()
+    mutate = rng.random(len(emitted)) < divergence
+    emitted[mutate] = rng.choice(20, size=int(mutate.sum()), p=p_bg)
     keep = rng.random(len(emitted)) > 0.08          # ~8% deletions
     emitted = emitted[keep][:max_len]
     n = min(len(emitted), len(x) - offset)

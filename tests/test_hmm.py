@@ -445,3 +445,28 @@ def test_bias_filter_demotes_compositional_matches(profiles, sequences):
     # real structural hits survive the bias filter
     assert strong(hits_bias) == strong(hits_nobias) == {
         (0, "PF10417"), (1, "PF12574"), (2, "PF00244")}
+
+
+def test_stream_domains_matches_engine(profiles, sequences):
+    """The streamed pair-packed stage 3 (pre-gathered emission streams,
+    chunked grid, device envelopes, in-kernel null2) reproduces the host
+    ``define_domains`` envelopes, coordinates, and scores exactly."""
+    from gecco_tpu.hmm.stream import StreamDomains
+
+    bank = batch.ProfileBank.build(profiles)
+    xs = [x for _, x in sequences]
+    name_of = {gm.name: i for i, gm in enumerate(profiles)}
+    pairs = [(0, name_of["1-cysPrx_C"]), (1, name_of["120_Rick_ant"]),
+             (2, name_of["14-3-3"])]
+    dom = StreamDomains(bank, profiles)
+    got = dom.define(xs, pairs, pad_to=1024, interpret=True)
+    for (s, p) in pairs:
+        expected = engine.define_domains(profiles[p], xs[s])
+        mine = got[(s, p)]
+        assert len(mine) == len(expected)
+        for a, b in zip(mine, expected):
+            assert (a.ienv, a.jenv) == (b.ienv, b.jenv)
+            assert (a.target_from, a.target_to) == (b.target_from, b.target_to)
+            assert (a.hmm_from, a.hmm_to) == (b.hmm_from, b.hmm_to)
+            assert a.envsc == pytest.approx(b.envsc, abs=5e-2)
+            assert a.bitscore == pytest.approx(b.bitscore, abs=5e-2)

@@ -53,7 +53,6 @@ fk = pipeline._filter_kernel
 pf = pipeline._pair_forward
 pd = pipeline._pair_domains
 orig = (fk.masks, pf.flat_packed, pd.define)
-post_orig = [(pk.call_packed, ak.call_packed) for _i, pk, ak in pd.buckets]
 
 best = None
 for trial in range(3):
@@ -61,9 +60,6 @@ for trial in range(3):
     fk.masks = timed("1.filter_masks", orig[0])
     pf.flat_packed = timed("2.pair_fwd", orig[1])
     pd.define = timed("3.domains_total", orig[2])
-    for (idx, pk, ak), (po, ao) in zip(pd.buckets, post_orig):
-        pk.call_packed = timed("3a.posterior", po)
-        ak.call_packed = timed("3c.align", ao)
 
     t0 = time.perf_counter()
     hits = pipeline.search(seqs)
@@ -71,15 +67,11 @@ for trial in range(3):
 
     fk.masks, pf.flat_packed = orig[0], orig[1]
     del pd.define
-    for (idx, pk, ak), (po, ao) in zip(pd.buckets, post_orig):
-        pk.call_packed, ak.call_packed = po, ao
     snapshot = dict(times, total=total)
     if best is None or total < best["total"]:
         best = snapshot
 
 for k in sorted(best):
     print(f"{k:20s} {best[k]:8.3f} s")
-host3 = best["3.domains_total"] - best.get("3a.posterior", 0) - best.get("3c.align", 0)
 other = best["total"] - best["1.filter_masks"] - best["2.pair_fwd"] - best["3.domains_total"]
-print(f"{'3b.env+host':20s} {host3:8.3f} s")
 print(f"{'other_host':20s} {other:8.3f} s")
