@@ -46,6 +46,27 @@ def _auto_interpret(interpret: bool) -> bool:
     return jax.default_backend() != "tpu"
 
 
+def dchain_depth(bank: ProfileBank) -> int:
+    """Doubling steps needed by the delete-chain prefix scan.
+
+    A delete run of length ``g`` carries ``Π tdd ≤ max(tdd)^g`` of the
+    chain head's mass; runs below 1e-8 relative are invisible in f32
+    (eps ≈ 6e-8), so the scan only needs to reach
+    ``2^k ≥ log(1e-8)/log(max tdd)`` nodes instead of the padded model
+    width.  The forward delete chain costs ~6 VPU ops per doubling step
+    — on typical banks this halves the chain cost; on high-``tdd``
+    banks it automatically stays exact (capped at ``log2(Mp)``).
+    """
+    full = int(math.log2(bank.Mp))
+    t = float(bank.tdd.max())
+    if t <= 0.0:
+        return 1
+    if t >= 1.0:
+        return full
+    run = math.log(1e-8) / math.log(t)
+    return min(full, max(1, int(math.ceil(math.log2(max(2.0, run))))))
+
+
 class SeqPack:
     """A batch of encoded sequences resident on the device.
 
@@ -585,15 +606,16 @@ class Bucketed:
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def _pallas_fwd(P: int, Mp: int, Lp: int, S: int, Pc: int, masked: bool, interpret: bool):
+def _pallas_fwd(P: int, Mp: int, Lp: int, S: int, Pc: int, masked: bool,
+                interpret: bool, nd: Optional[int] = None):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n_chunks = P // Pc
-    n_doubling = int(math.log2(Mp))
-    assert 1 << n_doubling == Mp, "Mp must be a power of two"
+    n_doubling = nd if nd is not None else int(math.log2(Mp))
+    assert 1 << int(math.log2(Mp)) == Mp, "Mp must be a power of two"
 
     def kernel(xs_ref, lens_ref, loops_ref, moves_ref,
                e_ref, tmm_ref, tim_ref, tdm_ref, tmi_ref, tii_ref,
@@ -693,14 +715,15 @@ def _pallas_fwd(P: int, Mp: int, Lp: int, S: int, Pc: int, masked: bool, interpr
 
 
 @functools.lru_cache(maxsize=None)
-def _pallas_pair_fwd(Mp: int, Lp: int, C: int, masked: bool, interpret: bool):
+def _pallas_pair_fwd(Mp: int, Lp: int, C: int, masked: bool, interpret: bool,
+                     nd: Optional[int] = None):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    n_doubling = int(math.log2(Mp))
-    assert 1 << n_doubling == Mp, "Mp must be a power of two"
+    n_doubling = nd if nd is not None else int(math.log2(Mp))
+    assert 1 << int(math.log2(Mp)) == Mp, "Mp must be a power of two"
 
     def kernel(xs_ref, starts_ref, ends_ref, loops_ref, moves_ref,
                e_ref, tmm_ref, tim_ref, tdm_ref, tmi_ref, tii_ref,
@@ -808,11 +831,12 @@ def _pallas_pair_fwd(Mp: int, Lp: int, C: int, masked: bool, interpret: bool):
 
 @functools.lru_cache(maxsize=None)
 def _pallas_pair_fwd_packed(Mp: int, Lp: int, C: int, masked: bool,
-                            interpret: bool, with_ranges: bool):
+                            interpret: bool, with_ranges: bool,
+                            nd: Optional[int] = None):
     """Packed-batch entry: gather sequence rows on device, then DP."""
     import jax
 
-    inner = _pallas_pair_fwd(Mp, Lp, C, masked, interpret)
+    inner = _pallas_pair_fwd(Mp, Lp, C, masked, interpret, nd)
 
     def run(xs_all, lens_all, loops_all, moves_all, rows, valid, idx,
             starts, ends, e_odds, *trans):
@@ -855,6 +879,7 @@ class PairForwardKernel:
 
         self.bank = bank
         self.masked = bool((bank.lengths >= bank.Mp).any())
+        self.nd = dchain_depth(bank)
         self.e_odds = jnp.asarray(bank.e_odds)
         self.trans = tuple(jnp.asarray(a) for a in (
             bank.tmm, bank.tim, bank.tdm, bank.tmi, bank.tii,
@@ -921,7 +946,7 @@ class PairForwardKernel:
             ends = starts
         fn = _pallas_pair_fwd_packed(
             self.bank.Mp, pack.Lp, C, self.masked,
-            _auto_interpret(interpret), ranges is not None,
+            _auto_interpret(interpret), ranges is not None, self.nd,
         )
         out = fn(
             pack.xs, pack.lens, pack.loops_exp, pack.moves_exp,
@@ -1948,7 +1973,7 @@ class ForwardKernel:
             moves[i] = math.exp(move)
         fn = _pallas_fwd(
             self.P_pad, self.bank.Mp, Lp, self.seq_tile, self.Pc,
-            self.masked, _auto_interpret(interpret),
+            self.masked, _auto_interpret(interpret), dchain_depth(self.bank),
         )
         out = fn(
             jnp.asarray(xs.reshape(St, self.seq_tile, Lp)),

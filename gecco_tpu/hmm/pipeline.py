@@ -143,6 +143,7 @@ class SearchPipeline:
         # composition bias filter null (F1/F3 gates only)
         use_bias = self.bias_filter and not self.max_filter
         counts = None
+        extra_mx = None
         if use_bias:
             if self._logratio is None:
                 from .kernels import bias_logratio
@@ -153,11 +154,18 @@ class SearchPipeline:
                 counts[i] = numpy.bincount(
                     numpy.minimum(x, 20), minlength=21
                 )[:20]
+            if len(sequences) * self._bank.P <= 64_000_000:
+                # one BLAS matmul beats per-pair gathers by ~50x
+                extra_mx = numpy.logaddexp(
+                    0.0, counts @ self._logratio
+                ) - LOG2
 
         def filter_extra(s_arr, p_arr):
             """``filtersc - nullsc`` (nats) per pair; 0 without bias."""
             if not use_bias:
                 return numpy.zeros(len(s_arr))
+            if extra_mx is not None:
+                return extra_mx[s_arr, p_arr]
             delta = numpy.einsum(
                 "sk,ks->s", counts[s_arr], self._logratio[:, p_arr]
             )

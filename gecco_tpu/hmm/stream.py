@@ -56,13 +56,14 @@ def _auto_interpret(interpret: bool) -> bool:
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def _stream_fwd(Mp: int, C: int, Lc: int, nLc: int, n_cells: int, interpret: bool):
+def _stream_fwd(Mp: int, C: int, Lc: int, nLc: int, n_cells: int,
+                interpret: bool, nd: Optional[int] = None):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    n_doubling = int(math.log2(Mp))
+    n_doubling = nd if nd is not None else int(math.log2(Mp))
 
     def kernel(es_ref, lens_ref, loops_ref, moves_ref,
                tmm_ref, tim_ref, tdm_ref, tmi_ref, tii_ref,
@@ -203,13 +204,14 @@ def _stream_fwd(Mp: int, C: int, Lc: int, nLc: int, n_cells: int, interpret: boo
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def _stream_bwd(Mp: int, C: int, Lc: int, nLc: int, n_cells: int, interpret: bool):
+def _stream_bwd(Mp: int, C: int, Lc: int, nLc: int, n_cells: int,
+                interpret: bool, nd: Optional[int] = None):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    n_doubling = int(math.log2(Mp))
+    n_doubling = nd if nd is not None else int(math.log2(Mp))
 
     def kernel(es_ref, fB_ref, flog_ref, fNp_ref, fJp_ref, fCp_ref, flogp_ref,
                lens_ref, loops_ref, moves_ref, total_ref,
@@ -374,13 +376,13 @@ def _stream_bwd(Mp: int, C: int, Lc: int, nLc: int, n_cells: int, interpret: boo
 
 @functools.lru_cache(maxsize=None)
 def _stream_align_bwd(Mp: int, C: int, Lc: int, nLc: int, n_cells: int,
-                      interpret: bool):
+                      interpret: bool, nd: Optional[int] = None):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    n_doubling = int(math.log2(Mp))
+    n_doubling = nd if nd is not None else int(math.log2(Mp))
 
     def kernel(es_ref, lens_ref, loops_ref, moves_ref,
                nm_ref, tmm_ref, tim_ref, tdm_ref, tmi_ref, tii_ref,
@@ -539,13 +541,14 @@ def _stream_align_bwd(Mp: int, C: int, Lc: int, nLc: int, n_cells: int,
 
 @functools.lru_cache(maxsize=None)
 def _stream_align_fwd(Mp: int, C: int, Lc: int, nLc: int, n_cells: int,
-                      interpret: bool):
+                      interpret: bool, nd: Optional[int] = None):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n_doubling = int(math.log2(Mp))
+    nd_fwd = nd if nd is not None else n_doubling
     BIG = 1e9
 
     def kernel(es_ref, bMp_ref, bIp_ref, blog_ref, bNl_ref, bJl_ref, bCl_ref,
@@ -603,7 +606,7 @@ def _stream_align_fwd(Mp: int, C: int, Lc: int, nLc: int, n_cells: int,
             a = tdd_shifted
             b = shiftR(m_new * tmd)
             shift = 1
-            for _ in range(n_doubling):
+            for _ in range(nd_fwd):
                 rolled_a = pltpu.roll(a, shift=shift, axis=1)
                 rolled_b = pltpu.roll(b, shift=shift, axis=1)
                 mask = lane >= shift
@@ -968,8 +971,11 @@ class _Bucket:
     def __init__(self, bank: ProfileBank):
         import jax.numpy as jnp
 
+        from .kernels import dchain_depth
+
         self.bank = bank
         self.Mp = bank.Mp
+        self.nd = dchain_depth(bank)
         self.e_odds = jnp.asarray(bank.e_odds)      # [21, P, Mp]
         self.trans9 = tuple(jnp.asarray(a) for a in (
             bank.e_odds[20], bank.tmm, bank.tim, bank.tdm, bank.tmi,
@@ -1069,7 +1075,7 @@ class StreamDomains:
             lens = jnp.asarray(lens_np.reshape(cells, C))
 
             fN, fB, fJ, fC, flog, score_d = _stream_fwd(
-                bk.Mp, C, _LC, nLc, cells, interp
+                bk.Mp, C, _LC, nLc, cells, interp, bk.nd
             )(es, lens, loops, moves, *trans[1:])
 
             def shift1(a):
@@ -1077,7 +1083,7 @@ class StreamDomains:
                     [jnp.zeros_like(a[:, :1]), a[:, :-1]], axis=1
                 )
 
-            mocc_d, pb_d = _stream_bwd(bk.Mp, C, _LC, nLc, cells, interp)(
+            mocc_d, pb_d = _stream_bwd(bk.Mp, C, _LC, nLc, cells, interp, bk.nd)(
                 es, fB, flog, shift1(fN), shift1(fJ), shift1(fC), shift1(flog),
                 lens, loops, moves, score_d, *trans,
             )
@@ -1137,10 +1143,10 @@ class StreamDomains:
             eg_a = bk.e_odds[:, jnp.asarray(prof_a), :].reshape(
                 21, cells_a, Ca, bk.Mp
             )
-            planes = _stream_align_bwd(bk.Mp, Ca, _LC, nLc, cells_a, interp)(
+            planes = _stream_align_bwd(bk.Mp, Ca, _LC, nLc, cells_a, interp, bk.nd)(
                 es_a, lens_aj, loops_a, moves_a, *trans_a,
             )
-            outs = _stream_align_fwd(bk.Mp, Ca, _LC, nLc, cells_a, interp)(
+            outs = _stream_align_fwd(bk.Mp, Ca, _LC, nLc, cells_a, interp, bk.nd)(
                 es_a, *planes,
                 lens_aj, loops_a, moves_a,
                 jnp.asarray(iv.reshape(cells_a, Ca)),
