@@ -39,7 +39,7 @@ GENOME_PROTEINS = 3000
 GENOME_GENES = 3000
 BASELINE_GENOMES_PER_HOUR = 40.0
 N_PROFILES = 2766
-N_PROTEINS = 768
+N_PROTEINS = 3000  # one full bacterial proteome per search batch
 
 
 def main() -> None:

@@ -1899,18 +1899,26 @@ class PairBucketed:
                     rows.append((s, mine[c0 : c0 + chunk]))
             if not rows:
                 continue
-            C0 = max(len(mine) for _, mine in rows)
-            pair_idx = numpy.zeros((len(rows), C0), dtype=numpy.int32)
-            for r, (_s, mine) in enumerate(rows):
-                pair_idx[r, : len(mine)] = row_of[mine]
-            krows = numpy.asarray(
-                [seq_rows[s] for s, _ in rows], dtype=numpy.int32
-            )
-            scores = kern.call_packed(pack, krows, pair_idx, interpret=interpret)
-            for r, (s, mine) in enumerate(rows):
-                out_s.append(numpy.full(len(mine), s, dtype=numpy.int64))
-                out_p.append(mine)
-                out_v.append(scores[r, : len(mine)])
+            # bound the kernel's gathered-emissions HBM footprint
+            # (21 x rows x C x Mp f32): genome-sized batches go out in
+            # row groups instead of one giant call
+            group = max(256, (2048 << 20) // (21 * chunk * kern.bank.Mp * 4))
+            for g0 in range(0, len(rows), group):
+                grows = rows[g0 : g0 + group]
+                C0 = max(len(mine) for _, mine in grows)
+                pair_idx = numpy.zeros((len(grows), C0), dtype=numpy.int32)
+                for r, (_s, mine) in enumerate(grows):
+                    pair_idx[r, : len(mine)] = row_of[mine]
+                krows = numpy.asarray(
+                    [seq_rows[s] for s, _ in grows], dtype=numpy.int32
+                )
+                scores = kern.call_packed(
+                    pack, krows, pair_idx, interpret=interpret
+                )
+                for r, (s, mine) in enumerate(grows):
+                    out_s.append(numpy.full(len(mine), s, dtype=numpy.int64))
+                    out_p.append(mine)
+                    out_v.append(scores[r, : len(mine)])
         if not out_s:
             z = numpy.zeros(0)
             return z.astype(numpy.int64), z.astype(numpy.int64), z.astype(numpy.float32)

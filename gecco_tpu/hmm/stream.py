@@ -1002,24 +1002,80 @@ class StreamDomains:
             self.buckets.append((idx, _Bucket(bank.select(idx, lane=lane, width=cap))))
 
     # -- stream builders ---------------------------------------------------
+    #
+    # Each stage below is ONE jitted function covering gather + kernels
+    # (+ envelope finding): through a remote-attached device every
+    # eager op pays ~5-15 ms dispatch latency, so the whole stage must
+    # go out as a single dispatch.
 
-    def _streams(self, pack, bk: _Bucket, rows, prof, Lps: int, C: int):
-        """Gather per-pair emission streams + per-row constants."""
+    @staticmethod
+    @functools.lru_cache(maxsize=None)
+    def _jit_posterior(Mp, C, Lc, nLc, cells, interp, nd):
+        import jax
         import jax.numpy as jnp
 
-        R = len(rows)
-        cells = R // C
-        xs = pack.xs[jnp.asarray(rows)][:, :Lps]            # [R, Lps]
-        eg = bk.e_odds[:, jnp.asarray(prof), :]             # [21, R, Mp]
-        es = eg[xs, jnp.arange(R, dtype=jnp.int32)[:, None]]  # [R, Lps, Mp]
-        es = es.reshape(cells, C, Lps, bk.Mp).transpose(0, 2, 1, 3)
-        trans = tuple(
-            t[jnp.asarray(prof)].reshape(cells, C, bk.Mp) for t in bk.trans9
-        )
-        lens = pack.lens[jnp.asarray(rows)].astype(jnp.float32).reshape(cells, C)
-        loops = pack.loops_exp[jnp.asarray(rows)].reshape(cells, C)
-        moves = pack.moves_exp[jnp.asarray(rows)].reshape(cells, C)
-        return es, lens, loops, moves, trans
+        Lps = nLc * Lc
+        R = cells * C
+        fwd = _stream_fwd(Mp, C, Lc, nLc, cells, interp, nd)
+        bwd = _stream_bwd(Mp, C, Lc, nLc, cells, interp, nd)
+        envf = _jit_envelopes(_N_REGIONS, _N_ENVS)
+
+        def run(xs_all, loops_all, moves_all, e_odds, t9, rows, prof, lens):
+            xs = xs_all[rows][:, :Lps]
+            eg = e_odds[:, prof, :]
+            es = eg[xs, jnp.arange(R, dtype=jnp.int32)[:, None]]
+            es = es.reshape(cells, C, Lps, Mp).transpose(0, 2, 1, 3)
+            trans = tuple(t[prof].reshape(cells, C, Mp) for t in t9)
+            loops = loops_all[rows].reshape(cells, C)
+            moves = moves_all[rows].reshape(cells, C)
+            fN, fB, fJ, fC, flog, score = fwd(
+                es, lens, loops, moves, *trans[1:]
+            )
+
+            def shift1(a):
+                return jnp.concatenate(
+                    [jnp.zeros_like(a[:, :1]), a[:, :-1]], axis=1
+                )
+
+            mocc, pb = bwd(
+                es, fB, flog, shift1(fN), shift1(fJ), shift1(fC), shift1(flog),
+                lens, loops, moves, score, *trans,
+            )
+            env_i, env_j, over = envf(
+                mocc.transpose(0, 2, 1), pb.transpose(0, 2, 1),
+                lens.astype(jnp.int32),
+            )
+            return score, env_i, env_j, over
+
+        return jax.jit(run)
+
+    @staticmethod
+    @functools.lru_cache(maxsize=None)
+    def _jit_align(Mp, C, Lc, nLc, cells, interp, nd):
+        import jax
+        import jax.numpy as jnp
+
+        Lps = nLc * Lc
+        R = cells * C
+        abwd = _stream_align_bwd(Mp, C, Lc, nLc, cells, interp, nd)
+        afwd = _stream_align_fwd(Mp, C, Lc, nLc, cells, interp, nd)
+
+        def run(xs_all, loops_all, moves_all, e_odds, t9, rows, prof,
+                lens, iv, jv, tot):
+            xs = xs_all[rows][:, :Lps]
+            eg0 = e_odds[:, prof, :]
+            es = eg0[xs, jnp.arange(R, dtype=jnp.int32)[:, None]]
+            es = es.reshape(cells, C, Lps, Mp).transpose(0, 2, 1, 3)
+            trans = tuple(t[prof].reshape(cells, C, Mp) for t in t9)
+            loops = loops_all[rows].reshape(cells, C)
+            moves = moves_all[rows].reshape(cells, C)
+            eg = eg0.reshape(21, cells, C, Mp)
+            planes = abwd(es, lens, loops, moves, *trans)
+            return afwd(
+                es, *planes, lens, loops, moves, iv, jv, tot, eg, *trans
+            )
+
+        return jax.jit(run)
 
     # -- stage 3a+3b -------------------------------------------------------
 
@@ -1066,30 +1122,16 @@ class StreamDomains:
             prof = numpy.zeros(R, dtype=numpy.int32)
             rows[:R0] = [s for s, _ in members]
             prof[:R0] = [self.local[p, 1] for _, p in members]
-            es, lens, loops, moves, trans = self._streams(
-                pack, bk, rows, prof, Lps, C
-            )
             # zero out the padding rows' lengths so they stay dead
             lens_np = numpy.zeros(R, dtype=numpy.float32)
             lens_np[:R0] = [len(sequences[s]) for s, _ in members]
-            lens = jnp.asarray(lens_np.reshape(cells, C))
-
-            fN, fB, fJ, fC, flog, score_d = _stream_fwd(
+            score_d, env_i_d, env_j_d, over_d = self._jit_posterior(
                 bk.Mp, C, _LC, nLc, cells, interp, bk.nd
-            )(es, lens, loops, moves, *trans[1:])
-
-            def shift1(a):
-                return jnp.concatenate(
-                    [jnp.zeros_like(a[:, :1]), a[:, :-1]], axis=1
-                )
-
-            mocc_d, pb_d = _stream_bwd(bk.Mp, C, _LC, nLc, cells, interp, bk.nd)(
-                es, fB, flog, shift1(fN), shift1(fJ), shift1(fC), shift1(flog),
-                lens, loops, moves, score_d, *trans,
-            )
-            env_i_d, env_j_d, over_d = _jit_envelopes(_N_REGIONS, _N_ENVS)(
-                mocc_d.transpose(0, 2, 1), pb_d.transpose(0, 2, 1),
-                lens.astype(jnp.int32),
+            )(
+                pack.xs, pack.loops_exp, pack.moves_exp,
+                bk.e_odds, bk.trans9,
+                jnp.asarray(rows), jnp.asarray(prof),
+                jnp.asarray(lens_np.reshape(cells, C)),
             )
             score = numpy.asarray(score_d).reshape(R)
             env_i = numpy.asarray(env_i_d).reshape(R, -1)
@@ -1136,23 +1178,16 @@ class StreamDomains:
                 jv[slot] = j0
                 tot[slot] = sc
                 lens_a[slot] = len(sequences[s])
-            es_a, _l, loops_a, moves_a, trans_a = self._streams(
-                pack, bk, rows_a, prof_a, Lps, Ca
-            )
-            lens_aj = jnp.asarray(lens_a.reshape(cells_a, Ca))
-            eg_a = bk.e_odds[:, jnp.asarray(prof_a), :].reshape(
-                21, cells_a, Ca, bk.Mp
-            )
-            planes = _stream_align_bwd(bk.Mp, Ca, _LC, nLc, cells_a, interp, bk.nd)(
-                es_a, lens_aj, loops_a, moves_a, *trans_a,
-            )
-            outs = _stream_align_fwd(bk.Mp, Ca, _LC, nLc, cells_a, interp, bk.nd)(
-                es_a, *planes,
-                lens_aj, loops_a, moves_a,
+            outs = self._jit_align(
+                bk.Mp, Ca, _LC, nLc, cells_a, interp, bk.nd
+            )(
+                pack.xs, pack.loops_exp, pack.moves_exp,
+                bk.e_odds, bk.trans9,
+                jnp.asarray(rows_a), jnp.asarray(prof_a),
+                jnp.asarray(lens_a.reshape(cells_a, Ca)),
                 jnp.asarray(iv.reshape(cells_a, Ca)),
                 jnp.asarray(jv.reshape(cells_a, Ca)),
                 jnp.asarray(tot.reshape(cells_a, Ca)),
-                eg_a, *trans_a,
             )
             envsc = numpy.asarray(outs[0]).reshape(Ra)
             logn2 = numpy.asarray(outs[1]).reshape(Ra, 24)
