@@ -378,6 +378,7 @@ def annotate_domains(
     logger, genes: List, *,
     hmm_paths: List, default_hmms: Iterable, whitelist=None,
     disentangle: bool = False, jobs: int = 0, bit_cutoffs=None,
+    backend: str = "auto",
     e_filter=None, p_filter=None,
 ) -> List:
     from ...hmm import ProfileHMMAnnotator
@@ -391,7 +392,8 @@ def annotate_domains(
         )
     for hmm in hmms:
         logger.info("Starting", f"annotation with {hmm.id} v{hmm.version}", level=2)
-        genes = ProfileHMMAnnotator(hmm, jobs, whitelist).run(genes, bit_cutoffs=bit_cutoffs)
+        genes = ProfileHMMAnnotator(hmm, jobs, whitelist, backend=backend).run(
+            genes, bit_cutoffs=bit_cutoffs)
         logger.success("Finished", f"annotation with {hmm.id} v{hmm.version}", level=2)
 
     count = sum(len(gene.protein.domains) for gene in genes)

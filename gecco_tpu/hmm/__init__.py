@@ -80,9 +80,11 @@ class ProfileHMMAnnotator(DomainAnnotator):
         cpus: Optional[int] = None,
         whitelist: Optional[Container[str]] = None,
         use_accelerator: bool = True,
+        backend: str = "auto",
     ) -> None:
         super().__init__(hmm, cpus=cpus, whitelist=whitelist)
         self.use_accelerator = use_accelerator
+        self.backend = backend
         self._profiles: Optional[List[SearchProfile]] = None
 
     def _load_profiles(self) -> List[SearchProfile]:
@@ -110,6 +112,7 @@ class ProfileHMMAnnotator(DomainAnnotator):
             domZ=self.hmm.size,
             bit_cutoffs=bit_cutoffs,
             use_accelerator=self.use_accelerator,
+            backend=self.backend,
         )
         interpro = InterPro.load()
         for hit in pipeline.search(sequences):

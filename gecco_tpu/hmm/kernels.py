@@ -50,10 +50,10 @@ def dchain_depth(bank: ProfileBank) -> int:
     """Doubling steps needed by the delete-chain prefix scan.
 
     A delete run of length ``g`` carries ``Π tdd ≤ max(tdd)^g`` of the
-    chain head's mass; runs below 1e-8 relative are invisible in f32
-    (eps ≈ 6e-8), so the scan only needs to reach
-    ``2^k ≥ log(1e-8)/log(max tdd)`` nodes instead of the padded model
-    width.  The forward delete chain costs ~6 VPU ops per doubling step
+    chain head's mass; runs below 1e-6 relative are far below every
+    downstream tolerance (scores gate at ~1e-3 nats), so the scan only
+    needs to reach ``2^k ≥ log(1e-6)/log(max tdd)`` nodes instead of
+    the padded model width.  The forward delete chain costs ~6 VPU ops per doubling step
     — on typical banks this halves the chain cost; on high-``tdd``
     banks it automatically stays exact (capped at ``log2(Mp)``).
     """
@@ -63,7 +63,7 @@ def dchain_depth(bank: ProfileBank) -> int:
         return 1
     if t >= 1.0:
         return full
-    run = math.log(1e-8) / math.log(t)
+    run = math.log(1e-6) / math.log(t)
     return min(full, max(1, int(math.ceil(math.log2(max(2.0, run))))))
 
 

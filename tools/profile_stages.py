@@ -21,7 +21,7 @@ from gecco_tpu.hmm.pipeline import SearchPipeline
 from gecco_tpu.hmm.synthetic import plant_domain, synthetic_profiles, synthetic_proteins
 
 N_PROFILES = 2766
-N_PROTEINS = 768
+N_PROTEINS = 3000
 
 profiles = synthetic_profiles(N_PROFILES, min_length=40, max_length=250, seed=0)
 seqs = [x[:512] for x in synthetic_proteins(N_PROTEINS, mean_length=280, seed=1)]
