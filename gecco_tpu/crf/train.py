@@ -169,10 +169,39 @@ def fit_crf(
             loss = loss + c2 * (jnp.sum(state**2) + jnp.sum(trans**2))
         return loss
 
+    algorithm = getattr(crf, "algorithm", "lbfgs")
+    if algorithm in ("lbfgs", "l-bfgs", "owlqn"):
+        state, trans = _fit_owlqn(
+            nll, A, c1, c2, max_iterations=max_iterations,
+            tolerance=tolerance,
+        )
+    elif algorithm == "adam":
+        state, trans = _fit_adam(
+            nll, A, c1, max_iterations=max_iterations,
+            learning_rate=learning_rate, tolerance=tolerance,
+        )
+    else:
+        raise ValueError(f"unsupported training algorithm: {algorithm!r}")
+    # record the final objective (CRFsuite keeps a trainer log in the
+    # pickled model; this is our equivalent for inspection/tests)
+    import jax.numpy as _jnp
+
+    final = float(nll((_jnp.asarray(state, _jnp.float32),
+                       _jnp.asarray(trans, _jnp.float32))))
+    crf.last_objective_ = final + c1 * float(
+        numpy.abs(state).sum() + numpy.abs(trans).sum()
+    )
+    crf._set_weights(vocabulary, ["0", "1"], state[:A], trans)
+
+
+def _fit_adam(nll, A, c1, *, max_iterations, learning_rate, tolerance):
+    """Proximal Adam on the elastic-net objective (alternative path)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
     optimizer = optax.adam(learning_rate)
-    state0 = jnp.zeros((A + 1, 2), jnp.float32)
-    trans0 = jnp.zeros((2, 2), jnp.float32)
-    params = (state0, trans0)
+    params = (jnp.zeros((A + 1, 2), jnp.float32), jnp.zeros((2, 2), jnp.float32))
     opt_state = optimizer.init(params)
     grad_fn = jax.value_and_grad(nll)
 
@@ -182,10 +211,12 @@ def fit_crf(
         updates, opt_state = optimizer.update(grads, opt_state)
         params = jax.tree_util.tree_map(lambda p, u: p + u * lr_scale, params, updates)
         if c1 > 0:
-            # proximal soft-threshold for the L1 penalty
+            # proximal soft-threshold for the L1 penalty (CRFsuite's
+            # orthantwise penalty covers ALL features incl transitions)
             threshold = c1 * learning_rate * lr_scale
             state, trans = params
             state = jnp.sign(state) * jnp.maximum(jnp.abs(state) - threshold, 0.0)
+            trans = jnp.sign(trans) * jnp.maximum(jnp.abs(trans) - threshold, 0.0)
             state = state.at[A].set(0.0)  # keep the padding row at zero
             params = (state, trans)
         else:
@@ -201,6 +232,145 @@ def fit_crf(
         if abs(previous - loss) < tolerance * max(1.0, abs(loss)):
             break
         previous = loss
-
     state, trans = (numpy.asarray(p, dtype=numpy.float64) for p in params)
-    crf._set_weights(vocabulary, ["0", "1"], state[:A], trans)
+    return state, trans
+
+
+def _fit_owlqn(nll, A, c1, c2, *, max_iterations, tolerance, history: int = 10):
+    """OWL-QN / L-BFGS on the (convex) CRF objective.
+
+    The reference trains through CRFsuite's ``lbfgs`` algorithm, which
+    is L-BFGS when ``c1 == 0`` and OWL-QN (Andrew & Gao 2007) when the
+    L1 term is active: the quasi-Newton direction is built from SMOOTH
+    gradient differences, steered by the L1 pseudo-gradient, and the
+    backtracking line search projects each trial point onto the orthant
+    of the expected solution (coordinates that cross zero are zeroed —
+    this is what produces genuinely sparse weights, unlike subgradient
+    steps).  The padded feature row stays frozen at zero.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n_state = (A + 1) * 2
+
+    vg = jax.jit(jax.value_and_grad(lambda xj: nll(
+        (xj[:n_state].reshape(A + 1, 2), xj[n_state:].reshape(2, 2))
+    )))
+
+    n = n_state + 4
+    frozen = numpy.zeros(n, dtype=bool)
+    frozen[n_state - 2 : n_state] = True  # padding feature row
+    x = numpy.zeros(n, dtype=numpy.float64)
+
+    def smooth(xv):
+        f, g = vg(jnp.asarray(xv, jnp.float32))
+        g = numpy.asarray(g, dtype=numpy.float64)
+        g[frozen] = 0.0
+        return float(f), g
+
+    def full_obj(fval, xv):
+        return fval + c1 * numpy.abs(xv).sum()
+
+    def gauge_fix(xv):
+        """L1-minimal per-feature gauge: shifting BOTH labels' weights
+        of one state feature by a constant leaves every path score —
+        and so the likelihood — unchanged; pick the shift that zeroes
+        the smaller coordinate.  Valid only when the L2 term (which is
+        not gauge-invariant) is off.  This is how the L1 optimum looks
+        (one-sided weights, like CRFsuite's); L-BFGS alone stalls in
+        these zero-curvature directions."""
+        if c1 <= 0 or c2 > 0:
+            return xv
+        pairs = xv[:n_state].reshape(A + 1, 2).copy()
+        w0, w1 = pairs[:, 0], pairs[:, 1]
+        m = numpy.where(numpy.abs(w0) <= numpy.abs(w1), w0, w1)
+        m[-1] = 0.0
+        pairs -= m[:, None]
+        out = xv.copy()
+        out[:n_state] = pairs.reshape(-1)
+        return out
+
+    x = _owlqn_loop(x, smooth, full_obj, c1, frozen, max_iterations,
+                    tolerance, history)
+    if c1 > 0:
+        x2 = gauge_fix(x)
+        if not numpy.array_equal(x2, x):
+            x = _owlqn_loop(x2, smooth, full_obj, c1, frozen,
+                            max_iterations, tolerance, history)
+            x = gauge_fix(x)
+    state = x[:n_state].reshape(A + 1, 2)
+    trans = x[n_state:].reshape(2, 2)
+    return state, trans
+
+
+def _owlqn_loop(x, smooth, full_obj, c1, frozen, max_iterations, tolerance,
+                history):
+    f, g = smooth(x)
+    F = full_obj(f, x)
+    S: List["numpy.ndarray"] = []
+    Y: List["numpy.ndarray"] = []
+    rho: List[float] = []
+    for _ in range(max_iterations):
+        # pseudo-gradient of f + c1*|x|
+        if c1 > 0:
+            pg = numpy.where(
+                x > 0, g + c1,
+                numpy.where(
+                    x < 0, g - c1,
+                    numpy.where(g + c1 < 0, g + c1,
+                                numpy.where(g - c1 > 0, g - c1, 0.0)),
+                ),
+            )
+        else:
+            pg = g.copy()
+        pg[frozen] = 0.0
+        if numpy.max(numpy.abs(pg)) < 1e-10:
+            break
+        # two-loop recursion on the smooth-gradient history
+        d = -pg
+        alphas = []
+        for s, yk, r in zip(reversed(S), reversed(Y), reversed(rho)):
+            a = r * (s @ d)
+            alphas.append(a)
+            d = d - a * yk
+        if Y:
+            d = d * ((S[-1] @ Y[-1]) / (Y[-1] @ Y[-1]))
+        for s, yk, r, a in zip(S, Y, rho, reversed(alphas)):
+            b = r * (yk @ d)
+            d = d + (a - b) * s
+        if c1 > 0:
+            d[d * pg >= 0] = 0.0  # stay in the descent orthant
+        if not numpy.any(d):
+            break
+        # orthant of the expected solution
+        xi = numpy.where(x != 0, numpy.sign(x), numpy.sign(-pg))
+        dir_deriv = pg @ d
+        step = 1.0
+        accepted = False
+        for _ls in range(30):
+            xn = x + step * d
+            if c1 > 0:
+                xn = numpy.where(xn * xi < 0, 0.0, xn)
+            fn, gn = smooth(xn)
+            Fn = full_obj(fn, xn)
+            if Fn <= F + 1e-4 * step * dir_deriv or Fn < F:
+                accepted = True
+                break
+            step *= 0.5
+        if not accepted:
+            break
+        s = xn - x
+        yk = gn - g
+        if s @ yk > 1e-10:
+            S.append(s)
+            Y.append(yk)
+            rho.append(1.0 / (s @ yk))
+            if len(S) > history:
+                S.pop(0)
+                Y.pop(0)
+                rho.pop(0)
+        converged = abs(F - Fn) < tolerance * max(1.0, abs(Fn))
+        x, f, g, F = xn, fn, gn, Fn
+        if converged:
+            break
+    return x
