@@ -1107,10 +1107,15 @@ class StreamDomains:
                 continue
             by_bucket.setdefault(int(self.local[p, 0]), []).append((s, p))
 
+        # phase 1: dispatch every bucket's posterior stage before any
+        # sync — the host assembly of one bucket then overlaps the
+        # device work of the next
+        posted: Dict[int, tuple] = {}
         for b, members in sorted(by_bucket.items()):
             _idx, bk = self.buckets[b]
             # sort by length so chunk-skipping keeps cells tight
             members = sorted(members, key=lambda sp: len(sequences[sp[0]]))
+            by_bucket[b] = members
             R0 = len(members)
             Lmax = max(len(sequences[s]) for s, _ in members)
             Lps = min(_pow2(Lmax, _LC * 4), _MAX_LPS)
@@ -1125,7 +1130,7 @@ class StreamDomains:
             # zero out the padding rows' lengths so they stay dead
             lens_np = numpy.zeros(R, dtype=numpy.float32)
             lens_np[:R0] = [len(sequences[s]) for s, _ in members]
-            score_d, env_i_d, env_j_d, over_d = self._jit_posterior(
+            handles = self._jit_posterior(
                 bk.Mp, C, _LC, nLc, cells, interp, bk.nd
             )(
                 pack.xs, pack.loops_exp, pack.moves_exp,
@@ -1133,6 +1138,13 @@ class StreamDomains:
                 jnp.asarray(rows), jnp.asarray(prof),
                 jnp.asarray(lens_np.reshape(cells, C)),
             )
+            posted[b] = (handles, R, nLc)
+
+        # phase 2: per bucket, fetch envelopes and dispatch alignment
+        aligned: Dict[int, tuple] = {}
+        for b, members in sorted(by_bucket.items()):
+            _idx, bk = self.buckets[b]
+            (score_d, env_i_d, env_j_d, over_d), R, nLc = posted[b]
             score = numpy.asarray(score_d).reshape(R)
             env_i = numpy.asarray(env_i_d).reshape(R, -1)
             env_j = numpy.asarray(env_j_d).reshape(R, -1)
@@ -1189,6 +1201,10 @@ class StreamDomains:
                 jnp.asarray(jv.reshape(cells_a, Ca)),
                 jnp.asarray(tot.reshape(cells_a, Ca)),
             )
+            aligned[b] = (outs, Ra, order, env_rows, env_pair)
+
+        # phase 3: fetch alignment results and assemble domain hits
+        for b, (outs, Ra, order, env_rows, env_pair) in sorted(aligned.items()):
             envsc = numpy.asarray(outs[0]).reshape(Ra)
             logn2 = numpy.asarray(outs[1]).reshape(Ra, 24)
             tfv = numpy.asarray(outs[2]).reshape(Ra)
