@@ -4,10 +4,11 @@ Behavioral reference: ``/root/reference/gecco/crf/__init__.py:275-378``
 (``ClusterCRF.fit``): optional Fisher feature selection, contig
 grouping + shuffling, one training instance per sliding window, then an
 L1(+L2)-regularized linear-chain CRF fit (CRFsuite L-BFGS/OWL-QN with
-``c1=0.4, c2=0.0`` for the shipped model).  Our optimizer is proximal
-Adam on the convex negative log-likelihood — batched over all windows
-on the accelerator — with soft-thresholding for the L1 term, yielding
-the same model family (sparse indicator-feature weights).
+``c1=0.4, c2=0.0`` for the shipped model).  ``algorithm="lbfgs"`` runs
+a real OWL-QN/L-BFGS optimizer (pseudo-gradient + orthant projection
+for the L1 term) on the convex negative log-likelihood, batched over
+all windows on the accelerator; ``algorithm="adam"`` selects the
+proximal-Adam alternative (soft-thresholding for the L1 term).
 """
 
 import random as _random

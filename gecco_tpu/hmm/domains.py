@@ -171,7 +171,12 @@ class PairDomains:
         by_bucket: Dict[int, List[Tuple[int, int]]] = {}
         for (s, p) in pairs:
             b = int(self.local[p, 0])
-            if pack.Lp * self.cap_of_bucket[b] > _VMEM_CELLS:
+            # VMEM gate on the SEQUENCE's own padded length, not the
+            # shared pack width — one long sequence in the batch must
+            # not push every other pair onto the slow host engine
+            # (128 = the lane width the kernel pads rows to)
+            Lp_s = _round_up(len(sequences[s]), 128)
+            if Lp_s * self.cap_of_bucket[b] > _VMEM_CELLS:
                 gm = self.profiles[p]
                 out[(s, p)] = engine.define_domains(gm, sequences[s])
                 continue
@@ -179,6 +184,18 @@ class PairDomains:
 
         for b, members in sorted(by_bucket.items()):
             idx, post_kern, align_kern = self.buckets[b]
+            # every member passed the per-sequence VMEM gate, but the
+            # SHARED pack can still be too wide for this bucket's
+            # kernels (its width covers the longest sequence in the
+            # whole batch): re-pack just this bucket's sequences at
+            # their own width instead of dropping to the host engine
+            bpack = pack
+            brow = None
+            if pack.Lp * self.cap_of_bucket[b] > _VMEM_CELLS:
+                used = sorted({s for s, _ in members})
+                w = max(_round_up(len(sequences[s]), 128) for s in used)
+                bpack = SeqPack([sequences[s] for s in used], w)
+                brow = {s: i for i, s in enumerate(used)}
             grouped: Dict[int, List[int]] = {}
             for s, p in members:
                 grouped.setdefault(s, []).append(int(self.local[p, 1]))
@@ -193,14 +210,18 @@ class PairDomains:
             pair_idx = numpy.zeros((len(entries), C0), dtype=numpy.int32)
             for n, (_s, locs) in enumerate(entries):
                 pair_idx[n, : len(locs)] = locs
-            krows = numpy.asarray([s for s, _ in entries], dtype=numpy.int32)
+            krows = numpy.asarray(
+                [s if brow is None else brow[s] for s, _ in entries],
+                dtype=numpy.int32,
+            )
             # stage 3a: trajectories stay ON DEVICE; only the Forward
-            # score and the envelope coordinate slots are fetched
-            score_d, mocc_d, pb_d, _pe_d = post_kern.call_packed(
-                pack, krows, pair_idx, interpret=interpret
+            # score and the envelope coordinate slots are fetched (the
+            # envelope finder never reads pE, so it is not emitted)
+            score_d, mocc_d, pb_d, _ = post_kern.call_packed(
+                bpack, krows, pair_idx, interpret=interpret, emit_pe=False
             )
             env_i_d, env_j_d, over_d = _jit_envelopes(_N_REGIONS, _N_ENVS)(
-                mocc_d, pb_d, pack.lens[krows]
+                mocc_d, pb_d, bpack.lens[krows]
             )
             score = numpy.asarray(score_d)
             env_i = numpy.asarray(env_i_d)
@@ -236,7 +257,7 @@ class PairDomains:
             # stage 3b: envelope cells address the SAME pack rows
             # (envelopes are keyed by entry index n → seq_rows=krows)
             res = align_kern.call_packed(
-                pack, krows, envelopes, totals, interpret=interpret
+                bpack, krows, envelopes, totals, interpret=interpret
             )
             # per-envelope residue-class counts fold with the kernel's
             # per-class log null2 odds: Σ_i log null2(x_i) over the

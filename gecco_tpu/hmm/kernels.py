@@ -958,16 +958,20 @@ class PairForwardKernel:
 
 
 @functools.lru_cache(maxsize=None)
-def _pallas_pair_posterior(Mp: int, Lp: int, C: int, masked: bool, interpret: bool):
+def _pallas_pair_posterior(Mp: int, Lp: int, C: int, masked: bool,
+                           interpret: bool, emit_pe: bool = True):
     """Pair-dense Forward+Backward with posterior state trajectories.
 
     Per (sequence, profile) pair, outputs what HMMER's domain-definition
     heuristics need *before* envelopes are known (``p7_domaindef``
     region finding): the full-sequence Forward score and, per position,
-    ``mocc`` (P(homologous)), ``pB`` and ``pE`` (B/E usage posteriors).
-    Forward scalar-state trajectories are recorded in VMEM scratch on
-    the way out; the Backward pass re-walks the sequence combining them
-    into the posteriors on the fly — no DP matrix ever leaves the chip.
+    ``mocc`` (P(homologous)), ``pB`` and — when ``emit_pe`` — ``pE``
+    (B/E usage posteriors).  The envelope finder only consumes mocc/pB,
+    so the domain-definition path drops the pE plane (one [S,C,Lp] HBM
+    write saved).  Forward scalar-state trajectories are recorded in
+    VMEM scratch on the way out; the Backward pass re-walks the
+    sequence combining them into the posteriors on the fly — no DP
+    matrix ever leaves the chip.
     """
     import jax
     import jax.numpy as jnp
@@ -979,8 +983,15 @@ def _pallas_pair_posterior(Mp: int, Lp: int, C: int, masked: bool, interpret: bo
     def kernel(xs_ref, lens_ref, loops_ref, moves_ref,
                e_ref, tmm_ref, tim_ref, tdm_ref, tmi_ref, tii_ref,
                tmd_ref, tdd_ref, bm_ref,
-               score_ref, mocc_ref, pb_ref, pe_ref,
-               fN_s, fB_s, fJ_s, fC_s, fE_s, flog_s, mocc_s, pb_s, pe_s):
+               score_ref, mocc_ref, pb_ref, *rest):
+        if emit_pe:
+            pe_ref = rest[0]
+            (fN_s, fB_s, fJ_s, fC_s, fE_s, flog_s,
+             mocc_s, pb_s, pe_s) = rest[1:]
+        else:
+            pe_ref = pe_s = None
+            (fN_s, fB_s, fJ_s, fC_s, fE_s, flog_s,
+             mocc_s, pb_s) = rest
         j = pl.program_id(1)
         lane = jax.lax.broadcasted_iota(jnp.int32, (C, Mp), dimension=1)
         first_lane = lane == 0
@@ -1100,10 +1111,11 @@ def _pallas_pair_posterior(Mp: int, Lp: int, C: int, masked: bool, interpret: bo
             ppC = prev_fC * loop * bC_p * sc_prev
             mocc = jnp.clip(1.0 - (ppN + ppJ + ppC), 0.0, 1.0)
             pB = fB_s[o, :][:, None] * bB_p * sc_cur
-            pE = fE_s[o, :][:, None] * bE_p * sc_cur
             mocc_s[o, :] = mocc[:, 0]
             pb_s[o, :] = pB[:, 0]
-            pe_s[o, :] = pE[:, 0]
+            if emit_pe:
+                pE = fE_s[o, :][:, None] * bE_p * sc_cur
+                pe_s[o, :] = pE[:, 0]
 
         # row L init (engine backward row L)
         bC0 = move
@@ -1142,7 +1154,8 @@ def _pallas_pair_posterior(Mp: int, Lp: int, C: int, masked: bool, interpret: bo
         # transpose the (Lp, C) trajectory scratches into the outputs
         mocc_ref[0, 0] = mocc_s[...].T
         pb_ref[0, 0] = pb_s[...].T
-        pe_ref[0, 0] = pe_s[...].T
+        if emit_pe:
+            pe_ref[0, 0] = pe_s[...].T
 
     def run(xs, lens, loops, moves, idx, e_odds, *trans):
         St = xs.shape[0]
@@ -1156,7 +1169,8 @@ def _pallas_pair_posterior(Mp: int, Lp: int, C: int, masked: bool, interpret: bo
         ]
         vec_spec = pl.BlockSpec((1, 1, C, Lp), lambda t, j: (t, j, 0, 0),
                                 memory_space=pltpu.VMEM)
-        score, mocc, pb, pe = pl.pallas_call(
+        n_vec_out = 3 if emit_pe else 2
+        outs = pl.pallas_call(
             kernel,
             grid=(St, 8),
             in_specs=[
@@ -1170,14 +1184,12 @@ def _pallas_pair_posterior(Mp: int, Lp: int, C: int, masked: bool, interpret: bo
             ],
             out_specs=[
                 pl.BlockSpec((1, 8, C), lambda t, j: (t, 0, 0), memory_space=pltpu.VMEM),
-                vec_spec, vec_spec, vec_spec,
-            ],
+            ] + [vec_spec] * n_vec_out,
             out_shape=[
                 jax.ShapeDtypeStruct((St, 8, C), jnp.float32),
-                jax.ShapeDtypeStruct((St, 8, C, Lp), jnp.float32),
-                jax.ShapeDtypeStruct((St, 8, C, Lp), jnp.float32),
-                jax.ShapeDtypeStruct((St, 8, C, Lp), jnp.float32),
-            ],
+            ] + [
+                jax.ShapeDtypeStruct((St, 8, C, Lp), jnp.float32)
+            ] * n_vec_out,
             scratch_shapes=[
                 pltpu.VMEM((Lp, C), jnp.float32),   # fN
                 pltpu.VMEM((Lp, C), jnp.float32),   # fB
@@ -1187,24 +1199,27 @@ def _pallas_pair_posterior(Mp: int, Lp: int, C: int, masked: bool, interpret: bo
                 pltpu.VMEM((Lp, C), jnp.float32),   # forward logscale
                 pltpu.VMEM((Lp, C), jnp.float32),   # mocc rows
                 pltpu.VMEM((Lp, C), jnp.float32),   # pB rows
-                pltpu.VMEM((Lp, C), jnp.float32),   # pE rows
-            ],
+            ] + ([pltpu.VMEM((Lp, C), jnp.float32)] if emit_pe else []),
             interpret=interpret,
         )(xs, lens, loops, moves, e_g, *trans_g)
-        return (score.reshape(S, C), mocc.reshape(S, C, Lp),
-                pb.reshape(S, C, Lp), pe.reshape(S, C, Lp))
+        score, mocc, pb = outs[0], outs[1], outs[2]
+        res = (score.reshape(S, C), mocc.reshape(S, C, Lp),
+               pb.reshape(S, C, Lp))
+        if emit_pe:
+            res = res + (outs[3].reshape(S, C, Lp),)
+        return res
 
     return jax.jit(run)
 
 
 @functools.lru_cache(maxsize=None)
 def _pallas_pair_posterior_packed(Mp: int, Lp: int, C: int, masked: bool,
-                                  interpret: bool):
+                                  interpret: bool, emit_pe: bool = True):
     """Packed-batch entry: gather sequence rows on device, then DP."""
     import jax
     import jax.numpy as jnp
 
-    inner = _pallas_pair_posterior(Mp, Lp, C, masked, interpret)
+    inner = _pallas_pair_posterior(Mp, Lp, C, masked, interpret, emit_pe)
 
     def run(xs_all, lens_all, loops_all, moves_all, rows, valid, idx,
             e_odds, *trans):
@@ -1259,12 +1274,15 @@ class PairPosteriorKernel:
         return (numpy.asarray(score), numpy.asarray(mocc),
                 numpy.asarray(pb), numpy.asarray(pe))
 
-    def call_packed(self, pack: SeqPack, rows, pair_idx, interpret=False):
+    def call_packed(self, pack: SeqPack, rows, pair_idx, interpret=False,
+                    emit_pe=True):
         """DEVICE-resident trajectories for pairs addressed into a pack.
 
-        Returns jnp arrays ``(score [R, C0], mocc/pb/pe [R, C0, Lp])``
-        with no host transfer — feed them to the on-device envelope
-        finder and fetch only its coordinates.
+        Returns jnp arrays ``(score [R, C0], mocc/pb [R, C0, Lp])`` plus
+        ``pe`` when ``emit_pe`` — no host transfer; feed them to the
+        on-device envelope finder and fetch only its coordinates.  The
+        envelope finder needs only mocc/pB, so domain definition passes
+        ``emit_pe=False`` and saves the third trajectory plane.
         """
         import jax.numpy as jnp
 
@@ -1281,15 +1299,16 @@ class PairPosteriorKernel:
         idx = numpy.zeros((n, C), dtype=numpy.int32)
         idx[:R, :C0] = pair_idx
         fn = _pallas_pair_posterior_packed(
-            self.bank.Mp, pack.Lp, C, self.masked, _auto_interpret(interpret)
+            self.bank.Mp, pack.Lp, C, self.masked,
+            _auto_interpret(interpret), emit_pe,
         )
-        score, mocc, pb, pe = fn(
+        outs = fn(
             pack.xs, pack.lens, pack.loops_exp, pack.moves_exp,
             jnp.asarray(rows_p), jnp.asarray(valid), jnp.asarray(idx),
             self.e_odds, *self.trans,
         )
-        return (score[:R, :C0], mocc[:R, :C0],
-                pb[:R, :C0], pe[:R, :C0])
+        res = tuple(o[:R, :C0] for o in outs)
+        return res if emit_pe else res + (None,)
 
 
 @functools.lru_cache(maxsize=None)

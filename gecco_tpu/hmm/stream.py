@@ -1089,13 +1089,6 @@ class StreamDomains:
         out: Dict[Tuple[int, int], List[DomainHit]] = {}
         if not pairs:
             return out
-        if pack is None:
-            from .kernels import SeqPack
-
-            Lp = pad_to or _round_up(
-                max(len(sequences[s]) for s, _ in pairs), 32
-            )
-            pack = SeqPack(sequences, Lp)
         interp = _auto_interpret(interpret)
 
         by_bucket: Dict[int, List[Tuple[int, int]]] = {}
@@ -1106,6 +1099,23 @@ class StreamDomains:
                 out[(s, p)] = engine.define_domains(self.profiles[p], sequences[s])
                 continue
             by_bucket.setdefault(int(self.local[p, 0]), []).append((s, p))
+
+        if not by_bucket:
+            return out
+        rowmap: Optional[Dict[int, int]] = None
+        if pack is None:
+            from .kernels import SeqPack
+
+            # the stream slices ``xs_all[:, :Lps]`` with Lps a power of
+            # two >= _LC*4 — the auto-built pack must be at least that
+            # wide.  Pack ONLY the device-path sequences (a too-long
+            # sequence elsewhere in the batch already fell back to the
+            # host engine and must not widen the pack past _MAX_LPS).
+            used = sorted({s for mem in by_bucket.values() for s, _ in mem})
+            maxlen = max(len(sequences[s]) for s in used)
+            Lp = pad_to or min(_pow2(maxlen, _LC * 4), _MAX_LPS)
+            pack = SeqPack([sequences[s] for s in used], Lp)
+            rowmap = {s: i for i, s in enumerate(used)}
 
         # phase 1: dispatch every bucket's posterior stage before any
         # sync — the host assembly of one bucket then overlaps the
@@ -1119,13 +1129,17 @@ class StreamDomains:
             R0 = len(members)
             Lmax = max(len(sequences[s]) for s, _ in members)
             Lps = min(_pow2(Lmax, _LC * 4), _MAX_LPS)
+            if pack.Lp < Lps:  # caller passed a narrower pad_to/pack
+                Lps = max(_LC, (pack.Lp // _LC) * _LC)
             nLc = Lps // _LC
             C = _C_POST
             cells = _pow2((R0 + C - 1) // C)
             R = cells * C
             rows = numpy.zeros(R, dtype=numpy.int32)
             prof = numpy.zeros(R, dtype=numpy.int32)
-            rows[:R0] = [s for s, _ in members]
+            rows[:R0] = [
+                s if rowmap is None else rowmap[s] for s, _ in members
+            ]
             prof[:R0] = [self.local[p, 1] for _, p in members]
             # zero out the padding rows' lengths so they stay dead
             lens_np = numpy.zeros(R, dtype=numpy.float32)
@@ -1184,7 +1198,7 @@ class StreamDomains:
             lens_a = numpy.zeros(Ra, dtype=numpy.float32)
             for slot, e in enumerate(order):
                 s, ploc, i0, j0, sc = env_rows[e]
-                rows_a[slot] = s
+                rows_a[slot] = s if rowmap is None else rowmap[s]
                 prof_a[slot] = ploc
                 iv[slot] = i0
                 jv[slot] = j0

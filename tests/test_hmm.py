@@ -420,20 +420,63 @@ def test_calibration_fits_background_statistics(profiles):
 def test_bias_filter_demotes_compositional_matches(profiles, sequences):
     """The composition bias filter (p7_bg_FilterScore analog) kills
     low-complexity/compositionally-biased filter passes but keeps real
-    structural hits."""
+    structural hits.
+
+    The decoy is a shuffled planted domain: residues genuinely emitted
+    from a profile's match states, then permuted — identical composition
+    (so the bias null fires) but no positional signal beyond chance
+    diagonals.  The F1 gate must pass it WITHOUT the bias correction
+    and reject it WITH the correction.
+    """
+    import math
+
     xs = [x for _, x in sequences]
-    # a low-complexity sequence skewed toward profile 0's mean composition
     from gecco_tpu.hmm import batch
     from gecco_tpu.hmm.kernels import bias_logratio
+    from gecco_tpu.hmm.profile import null1_score
 
     bank = batch.ProfileBank.build(profiles)
     lr = bias_logratio(bank)
     assert lr.shape == (20, bank.P)
-    # compo columns are log-ratios of real distributions: exp sums to ~1
-    compo = numpy.exp(lr[:, 0]) * (
-        numpy.asarray(batch.BACKGROUND_F)[:20]
-        if hasattr(batch, "BACKGROUND_F") else 1.0
+
+    def f1_pvalues(x, with_bias):
+        scores = numpy.asarray(batch.ssv_scores(bank, [x]))[0]
+        nullsc = null1_score(len(x))
+        if with_bias:
+            counts = numpy.bincount(
+                numpy.minimum(x, 20), minlength=21
+            )[:20].astype(numpy.float64)
+            nullsc = nullsc + (
+                numpy.logaddexp(0.0, counts @ lr) - math.log(2.0)
+            )
+        bits = (scores - nullsc) / math.log(2.0)
+        y = bank.msv_lambda * (bits - bank.msv_mu)
+        return 1.0 - numpy.exp(-numpy.exp(-numpy.clip(y, -30.0, 30.0)))
+
+    # search over seeds for a shuffle that still rides the F1 gate on
+    # composition alone (diagonal max of a shuffled domain is noisy)
+    target = None
+    for seed in range(40):
+        rng = numpy.random.default_rng(seed)
+        for p_idx, gm in enumerate(profiles):
+            probs = numpy.asarray(gm.hmm.match[1 : gm.M + 1], numpy.float64)
+            probs = probs / probs.sum(axis=1, keepdims=True)
+            emit = numpy.stack(
+                [rng.choice(20, p=probs[k]) for k in range(gm.M)]
+            ).astype(numpy.int32)
+            decoy = numpy.asarray(rng.permutation(emit), dtype=numpy.int32)
+            pv_plain = f1_pvalues(decoy, with_bias=False)[p_idx]
+            pv_bias = f1_pvalues(decoy, with_bias=True)[p_idx]
+            if pv_plain <= 0.02 < pv_bias:
+                target = (decoy, p_idx, pv_plain, pv_bias)
+                break
+        if target is not None:
+            break
+    assert target is not None, (
+        "no shuffled-domain decoy demoted by the bias filter in 40 seeds"
     )
+
+    # end-to-end: real structural hits survive the bias filter
     hits_bias = SearchPipeline(profiles, Z=10, domZ=10).search(xs)
     hits_nobias = SearchPipeline(
         profiles, Z=10, domZ=10, bias_filter=False
@@ -442,7 +485,6 @@ def test_bias_filter_demotes_compositional_matches(profiles, sequences):
         (h.sequence_index, h.profile.accession.split(".")[0])
         for h in hs if h.evalue < 1e-6
     }
-    # real structural hits survive the bias filter
     assert strong(hits_bias) == strong(hits_nobias) == {
         (0, "PF10417"), (1, "PF12574"), (2, "PF00244")}
 
@@ -470,3 +512,26 @@ def test_stream_domains_matches_engine(profiles, sequences):
             assert (a.hmm_from, a.hmm_to) == (b.hmm_from, b.hmm_to)
             assert a.envsc == pytest.approx(b.envsc, abs=5e-2)
             assert a.bitscore == pytest.approx(b.bitscore, abs=5e-2)
+
+
+def test_stream_domains_auto_pack(profiles, sequences):
+    """``StreamDomains.define`` with no ``pad_to``/``pack`` must build a
+    pack wide enough for the stream slices — any maxlen (e.g. one that
+    is not a power of two >= 128) used to crash the documented drop-in
+    entry point with a reshape error."""
+    from gecco_tpu.hmm.stream import StreamDomains
+
+    bank = batch.ProfileBank.build(profiles)
+    xs = [x for _, x in sequences]
+    assert not any(
+        (len(x) & (len(x) - 1)) == 0 and len(x) >= 128 for x in xs
+    ), "fixture lengths should exercise the non-power-of-two path"
+    name_of = {gm.name: i for i, gm in enumerate(profiles)}
+    pairs = [(0, name_of["1-cysPrx_C"])]
+    dom = StreamDomains(bank, profiles)
+    got = dom.define(xs, pairs, interpret=True)
+    expected = engine.define_domains(profiles[pairs[0][1]], xs[0])
+    mine = got[pairs[0]]
+    assert [(a.ienv, a.jenv) for a in mine] == [
+        (b.ienv, b.jenv) for b in expected
+    ]
