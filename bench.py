@@ -30,6 +30,7 @@ Prints one JSON line:
 """
 
 import json
+import os
 import sys
 import time
 
@@ -52,6 +53,26 @@ def main() -> None:
     from gecco_tpu.crf.decode import marginals_jax
     from gecco_tpu.hmm.pipeline import SearchPipeline
     from gecco_tpu.hmm.synthetic import plant_domain, synthetic_profiles, synthetic_proteins
+
+    # ---- numeric parity of the compiled kernels ON THIS DEVICE first:
+    # every tests/ parity check is interpret-mode CPU; this is the one
+    # place the production Pallas path is validated where it runs.
+    parity = "skipped"
+    if os.environ.get("GECCO_BENCH_PARITY", "1") != "0":
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tools"))
+        import tpu_check
+
+        try:
+            tpu_check.run(verbose=True)
+            parity = "ok"
+        except tpu_check.ParityError as exc:
+            print(json.dumps({
+                "metric": "genomes/hour/chip", "value": 0.0,
+                "unit": "genomes/hour", "vs_baseline": 0.0,
+                "parity": f"FAIL: {exc}",
+            }))
+            sys.exit(1)
 
     # ---- build the workload: background proteins with planted domains
     profiles = synthetic_profiles(N_PROFILES, min_length=40, max_length=250, seed=0)
@@ -104,6 +125,7 @@ def main() -> None:
         "value": round(genomes_per_hour, 2),
         "unit": "genomes/hour",
         "vs_baseline": round(genomes_per_hour / BASELINE_GENOMES_PER_HOUR, 2),
+        "parity": parity,
     }
     print(json.dumps(result))
     print(
