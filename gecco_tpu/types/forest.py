@@ -26,7 +26,11 @@ class Forest:
     children_right: "numpy.ndarray"  # [n_nodes] int32
     feature: "numpy.ndarray"         # [n_nodes] int32
     threshold: "numpy.ndarray"       # [n_nodes] float64
-    value: "numpy.ndarray"           # [n_nodes, n_outputs] P(positive)
+    value: "numpy.ndarray"           # [n_nodes, n_outputs] P(class 0) — the
+                                     # reference computes positives as
+                                     # 1 - P(class 0) (types/__init__.py:125-128)
+                                     # and matching that order keeps the
+                                     # averaged output bit-equal to sklearn
     tree_offsets: "numpy.ndarray"    # [n_trees + 1] int64
     classes: List[str]
     domains: List[str]
@@ -73,9 +77,12 @@ class Forest:
 
         Averages per-tree leaf distributions like sklearn's
         ``predict_proba`` (vectorized over samples; each tree walked with
-        a frontier of node indices).
+        a frontier of node indices).  Inputs are cast to float32 before
+        the threshold comparisons — sklearn's tree code does the same,
+        and matching it makes the walk bit-equal to the reference's
+        re-fitted ``RandomForestClassifier(random_state=0)``.
         """
-        x = numpy.asarray(x, dtype=numpy.float64)
+        x = numpy.asarray(x, dtype=numpy.float32)
         n = x.shape[0]
         total = numpy.zeros((n, self.n_outputs), dtype=numpy.float64)
         left, right = self.children_left, self.children_right
@@ -90,7 +97,7 @@ class Forest:
                 nodes[active] = numpy.where(go_left, left[idx], right[idx])
                 active = left[nodes] != -1
             total += self.value[nodes]
-        return total / self.n_trees
+        return 1.0 - total / self.n_trees
 
 
 def _gini_best_split(
@@ -164,7 +171,7 @@ def train_forest(
         rights.append(-1)
         feats.append(-2)
         thresholds.append(-2.0)
-        values.append(ys.mean(axis=0))
+        values.append(1.0 - ys.mean(axis=0))
         if len(xs) < min_samples_split or (ys.min(axis=0) == ys.max(axis=0)).all():
             return node
         feature_indices = rng.choice(d, size=n_sub, replace=False)

@@ -1,6 +1,7 @@
 """Cluster refinement + type classification parity tests (golden clusters.tsv)."""
 
 import math
+import os
 
 import numpy
 import pytest
@@ -103,11 +104,30 @@ def test_cluster_table_golden_parity():
         assert getattr(mine, column) == getattr(golden, column), column
     assert mine.average_p[0] == pytest.approx(golden.average_p[0], abs=1e-12)
     assert mine.max_p[0] == pytest.approx(golden.max_p[0], abs=1e-12)
-    # forest probabilities: same decisions at the 0.5 threshold; values
-    # differ from the 2023-era sklearn forest (see SURVEY.md §2.2 hard part 4)
+    # forest probabilities: BIT-EQUAL — forest.npz is the one-time export
+    # of the reference's sklearn RandomForestClassifier(random_state=0)
+    # refit and Forest.predict_proba replays its exact float arithmetic
     for cls in ("alkaloid", "nrp", "polyketide", "ripp", "saccharide", "terpene"):
         column = f"{cls}_probability"
-        assert (getattr(mine, column)[0] > 0.5) == (getattr(golden, column)[0] > 0.5), column
+        assert getattr(mine, column)[0] == getattr(golden, column)[0], column
+
+
+def test_forest_bit_equal_to_sklearn_fixture():
+    """Forest inference is bit-equal to sklearn's predict_proba.
+
+    The fixture holds 65 MIBiG composition rows with the expected
+    positive-class probabilities computed by the reference's exact flow
+    (``RandomForestClassifier(random_state=0)`` refit at load,
+    ``types/__init__.py:86-92,121-128``) under sklearn 1.9; equality is
+    exact, not approximate.
+    """
+    from gecco_tpu.types.forest import Forest
+
+    payload = numpy.load(
+        os.path.join(os.path.dirname(__file__), "data", "sklearn_forest_fixture.npz"))
+    forest = Forest.load()
+    ours = forest.predict_proba(payload["x"])
+    assert numpy.array_equal(ours, payload["expected"])
 
 
 def test_forest_training_accuracy():

@@ -11,7 +11,7 @@ Arrays (all trees concatenated, with per-tree node offsets):
 * ``children_left``/``children_right`` — int32, -1 at leaves
 * ``feature`` — int32 split feature (domain index), -2 at leaves
 * ``threshold`` — float64 split threshold (go left if x <= t)
-* ``value`` — float64 [n_nodes, n_outputs] P(class=1) per output at node
+* ``value`` — float64 [n_nodes, n_outputs] P(class 0) per output at node
 * ``tree_offsets`` — int64 [n_trees + 1]
 * ``classes`` — class (cluster type) names, ``domains`` — feature names
 
@@ -58,21 +58,22 @@ def export(dst: str = DST) -> None:
     offsets = [0]
     for estimator in model.estimators_:
         tree = estimator.tree_
-        lefts.append(tree.children_left)
-        rights.append(tree.children_right)
+        # child indices are local to the tree; Forest walks the
+        # concatenated arrays with global node indices, so offset them
+        offset = offsets[-1]
+        lefts.append(numpy.where(tree.children_left >= 0, tree.children_left + offset, -1))
+        rights.append(numpy.where(tree.children_right >= 0, tree.children_right + offset, -1))
         feats.append(tree.feature)
         thresholds.append(tree.threshold)
         # tree.value: [n_nodes, n_outputs, 2] class-count (or fraction)
-        # distributions; normalize to P(class=1) per output
+        # distributions; store P(class 0) per output — the reference's
+        # positive probabilities are computed as 1 - P(class 0)
+        # (types/__init__.py:125-128) and replaying that exact float
+        # arithmetic keeps Forest.predict_proba bit-equal to sklearn
         raw = tree.value  # type: ignore[attr-defined]
         totals = raw.sum(axis=2, keepdims=True)
         probs = numpy.where(totals > 0, raw / numpy.maximum(totals, 1e-300), 0.0)
-        # guard against single-class outputs (should not happen here)
-        if raw.shape[2] == 2:
-            positive = probs[:, :, 1]
-        else:
-            positive = 1.0 - probs[:, :, 0]
-        values.append(positive)
+        values.append(probs[:, :, 0])
         offsets.append(offsets[-1] + tree.node_count)
 
     numpy.savez_compressed(
