@@ -182,9 +182,18 @@ def load_features(logger, table_paths):
 
 
 def annotate_genes(logger, genes: List, features) -> List:
-    """Join features.tsv domains onto genes with strict coordinate checks."""
+    """Join features.tsv domains onto genes with strict coordinate checks.
+
+    Domains are rebuilt with the same InterPro metadata and qualifiers a
+    live annotation run attaches (``gecco_tpu/hmm/__init__.py``; reference
+    ``gecco/hmmer/__init__.py:155-176``), so the resume path writes the
+    same GenBank records as a full run.  (The reference's own resume
+    loader drops this metadata, ``_common.py:211-262`` — a known gap.)
+    """
+    from ...interpro import InterPro
     from ...model import Domain
 
+    interpro = InterPro.load()
     gene_index = {gene.protein.id: gene for gene in genes}
     if len(gene_index) < len(genes):
         raise ValueError("Duplicate gene names in input genes")
@@ -214,14 +223,35 @@ def annotate_genes(logger, genes: List, features) -> List:
         probability = features.cluster_probability[i]
         if isinstance(probability, float) and math.isnan(probability):
             probability = None
+        accession = features.domain[i]
+        entry = interpro.by_accession.get(accession)
+        qualifiers = {
+            "inference": ["protein motif"],
+            "db_xref": ["{}:{}".format(features.hmm[i].upper(), accession)],
+            "note": [
+                "e-value: {}".format(features.i_evalue[i]),
+                "p-value: {}".format(features.pvalue[i]),
+            ],
+        }
+        if entry is not None:
+            qualifiers["function"] = [entry.name]
+            qualifiers["db_xref"].append("InterPro:{}".format(entry.accession))
+            go_terms = entry.go_terms
+            go_functions = entry.go_functions
+        else:
+            go_terms = []
+            go_functions = []
         gene.protein.domains.append(Domain(
-            name=features.domain[i],
+            name=accession,
             start=features.domain_start[i],
             end=features.domain_end[i],
             hmm=features.hmm[i],
             i_evalue=features.i_evalue[i],
             pvalue=features.pvalue[i],
             probability=probability,
+            go_terms=go_terms,
+            go_functions=go_functions,
+            qualifiers=qualifiers,
         ))
     return list(gene_index.values())
 
@@ -248,7 +278,16 @@ def assign_sources(logger, sequences, genes: List, *, genome) -> Iterator:
             gene_seq = reverse_complement(gene_seq)
         from ...seq import Seq
 
-        gene = gene.with_protein(gene.protein.with_seq(Seq(gene_seq).translate()))
+        # translate like the gene callers do (table 11, initiator codon
+        # rendered as M for the alternative starts GTG/TTG) so resumed
+        # records byte-match the caller's output; the reference resumes
+        # with a plain table-1 translate() (_common.py:286-290), which
+        # diverges from its own gene caller on non-ATG starts
+        protein_seq = Seq(gene_seq).translate(table=11)
+        if protein_seq and gene_seq[:3].upper() in ("ATG", "GTG", "TTG"):
+            protein_seq = Seq("M" + protein_seq[1:])
+        gene.qualifiers.setdefault("transl_table", ["11"])
+        gene = gene.with_protein(gene.protein.with_seq(protein_seq))
         yield gene
 
 

@@ -137,3 +137,22 @@ def test_update_interpro_builds_loadable_json(tmp_path):
     # kinase activity -> catalytic activity
     entry2 = db.by_accession["PF12894"]
     assert [t.accession for t in entry2.go_functions] == ["GO:0003824"]
+
+
+def test_embedded_interpro_fixture():
+    """The embedded interpro.json (rebuilt from the golden GBK by
+    tools/build_interpro_fixture.py) loads and carries the GO flow:
+    Pfam member -> InterPro entry -> go_terms + top-level go_functions."""
+    from gecco_tpu.interpro import InterPro
+
+    db = InterPro.load()
+    assert len(db.entries) >= 24
+    entry = db.by_accession["PF07731"]
+    assert entry.accession == "IPR011706"
+    assert entry.name == "Multicopper oxidase, C-terminal"
+    assert [t.accession for t in entry.go_terms] == ["GO:0005507", "GO:0016491"]
+    assert sorted(t.name for t in entry.go_functions) == [
+        "binding", "catalytic activity"]
+    assert all(t.namespace == "molecular_function" for t in entry.go_functions)
+    # a Pfam with no InterPro entry resolves to None
+    assert db.by_accession.get("PF13489") is None

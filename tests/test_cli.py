@@ -70,21 +70,73 @@ def test_predict_golden_parity(tmp_path):
         for x, y in zip(fa[5:], fb[5:]):
             assert abs(float(x) - float(y)) < 1e-12
 
-    # clusters.tsv: identical coordinates / ids / membership
+    # clusters.tsv: EVERY column byte-equal except average_p/max_p,
+    # which carry the CRF's last-ulp float divergence from CRFsuite
+    # (genes.tsv marginals match to <1e-12; the mean/max of 23 of them
+    # differs in the final digit).  Type probabilities are byte-equal:
+    # the frozen forest replays sklearn's exact arithmetic.
     mine_c = _rows(tmp_path / "BGC0001866.clusters.tsv")[1].split("\t")
     gold_c = _rows(os.path.join(DATA, "BGC0001866.clusters.tsv"))[1].split("\t")
     header = _rows(os.path.join(DATA, "BGC0001866.clusters.tsv"))[0].split("\t")
+    assert _rows(tmp_path / "BGC0001866.clusters.tsv")[0].split("\t") == header
     for column, x, y in zip(header, mine_c, gold_c):
-        if column in ("sequence_id", "cluster_id", "start", "end", "type", "proteins", "domains"):
+        if column in ("average_p", "max_p"):
+            assert abs(float(x) - float(y)) < 1e-14, column
+        else:
             assert x == y, column
 
-    # sideload structure matches the golden layout
+    # sideload JSON: byte-equal after normalizing the tool identity
+    # (the reference golden was written by GECCO v0.9.6)
     payload = json.loads((tmp_path / "BGC0001866.sideload.json").read_text())
-    assert payload["records"][0]["name"] == "BGC0001866.1"
-    subregion = payload["records"][0]["subregions"][0]
-    assert subregion["start"] == 347
-    assert subregion["end"] == 32979
-    assert subregion["label"] == "Polyketide"
+    golden_payload = json.loads(
+        open(os.path.join(DATA, "BGC0001866.sideload.json")).read())
+    assert payload["tool"].pop("name") == "GECCO-TPU"
+    golden_payload["tool"].pop("name")
+    payload["tool"].pop("version"), golden_payload["tool"].pop("version")
+    assert payload == golden_payload
+
+
+def _normalize_gbk(text):
+    """Drop the volatile lines of a GECCO cluster GenBank record.
+
+    Normalized: the LOCUS line date, ``version``/``creation_date``
+    structured-comment lines, and CDS ``/inference`` lines — genes.tsv
+    does not record the calling tool, so the resume path cannot know the
+    golden's ``Pyrodigal:2.0.4`` string (the reference's own loader
+    loses it the same way, ``gecco/model.py:815-835``).
+    """
+    import re
+
+    out = []
+    for line in text.replace("\r\n", "\n").split("\n"):
+        if line.startswith("LOCUS"):
+            line = re.sub(r"\d{2}-[A-Z]{3}-\d{4}$", "<DATE>", line)
+        if re.match(r"\s+(version|creation_date)\s+::", line):
+            continue
+        if '/inference="ab initio prediction:' in line:
+            continue
+        out.append(line)
+    return "\n".join(out)
+
+
+def test_predict_golden_gbk_byte_parity(tmp_path):
+    """The predicted cluster GenBank matches the reference golden
+    line-for-line (normalized per `_normalize_gbk`): coordinates,
+    qualifiers, InterPro/GO metadata, functions, colors, translations
+    and sequence block are all byte-identical."""
+    stream = io.StringIO()
+    code = main([
+        "predict",
+        "--genome", os.path.join(DATA, "BGC0001866.fna"),
+        "-g", os.path.join(DATA, "BGC0001866.genes.tsv"),
+        "-f", os.path.join(DATA, "BGC0001866.features.tsv"),
+        "-o", str(tmp_path),
+    ], stream)
+    assert code == 0, stream.getvalue()
+    mine = _normalize_gbk((tmp_path / "BGC0001866.1_cluster_1.gbk").read_text())
+    golden = _normalize_gbk(
+        open(os.path.join(DATA, "BGC0001866.1_cluster_1.gbk")).read())
+    assert mine.splitlines() == golden.splitlines()
 
 
 def test_run_fasta_end_to_end(tmp_path):
