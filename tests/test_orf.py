@@ -50,26 +50,100 @@ def _golden_coordinates():
 
 
 def test_scan_finder_prodigal_parity():
-    """The de-novo finder recovers the Prodigal golden gene set."""
+    """EXACT coordinate parity with the Prodigal golden gene set.
+
+    All 10 genes of ``BGC0001737.faa`` (produced by real Prodigal in
+    meta mode, reference ``tests/test_orf/test_pyrodigal.py:17-20``)
+    including the left-edge partial gene, with no extra calls.
+    """
     records = list(seqio.parse(FNA_1737))
     genes = list(ScanFinder().find_genes(records))
-    golden = _golden_coordinates()
+    golden = {(b, e, s) for b, e, s, _ in _golden_coordinates()}
+    mine = {(g.start, g.end, int(g.strand)) for g in genes}
+    assert mine == golden
+
+
+def _golden_1866():
+    import csv
+
+    path = reference_path("test_cli", "data", "BGC0001866.genes.tsv")
+    with open(path) as f:
+        return [
+            (int(r["start"]), int(r["end"]), 1 if r["strand"] == "+" else -1)
+            for r in csv.DictReader(f, delimiter="\t")
+        ]
+
+
+def test_scan_finder_fungal_golden():
+    """Second golden (BGC0001866, fungal): precision-exact, bounded recall.
+
+    The reference runs a *prokaryotic* caller (Prodigal meta mode with
+    its pretrained bacterial model bank) on this eukaryotic contig; the
+    self-trained finder has no such bank, so recall differs — but every
+    gene it does call must share a stop with a golden Prodigal gene
+    (100% precision) and at least 10 of the 23 golden stops must be
+    recovered.  Documented in docs/parity.md (known deviation #4).
+    """
+    records = list(seqio.parse(reference_path("test_cli", "data", "BGC0001866.fna"), "fasta"))
+    genes = list(ScanFinder().find_genes(records))
+    golden = _golden_1866()
 
     def stop_key(start, end, strand):
         return (end, strand) if strand == 1 else (start, strand)
 
-    golden_stops = {stop_key(b, e, s) for b, e, s, _ in golden}
+    golden_stops = {stop_key(*g) for g in golden}
     mine_stops = {stop_key(g.start, g.end, int(g.strand)) for g in genes}
-    recovered = golden_stops & mine_stops
-    # every golden gene recovered (same stop codon), few extras
-    assert len(recovered) == len(golden_stops)
-    assert len(mine_stops) - len(recovered) <= 2
+    assert mine_stops <= golden_stops  # no spurious calls
+    assert len(mine_stops) >= 10
 
-    # most coordinates exact (start selection may differ on 1-2 genes)
-    exact = {(b, e, s) for b, e, s, _ in golden} & {
-        (g.start, g.end, int(g.strand)) for g in genes
+
+def test_scan_finder_mask():
+    """``mask=True`` drops candidates overlapping runs of >=50 N."""
+    records = list(seqio.parse(FNA_1737))
+    seq = str(records[0].seq)
+    golden = _golden_coordinates()
+    # plant a 60-N run inside the third golden gene
+    b, e, _, _ = golden[2]
+    mid = (b + e) // 2
+    mutated = seq[: mid] + "N" * 60 + seq[mid + 60 :]
+    from gecco_tpu.seq import Seq, SeqRecord
+
+    record = SeqRecord(id="masked", seq=Seq(mutated))
+    masked_genes = list(ScanFinder(mask=True).find_genes([record]))
+    assert all(
+        g.end <= mid or g.start > mid + 60 for g in masked_genes
+    ), [(g.start, g.end) for g in masked_genes]
+    # other golden genes are still recovered
+    found = {(g.start, g.end, int(g.strand)) for g in masked_genes}
+    untouched = {
+        (gb, ge, gs) for gb, ge, gs, _ in golden if ge <= mid or gb > mid + 60
     }
-    assert len(exact) >= len(golden) - 2
+    assert len(found & untouched) >= len(untouched) - 2
+
+
+def test_scan_finder_single_mode():
+    """``metagenome=False`` trains one model over all contigs (linker-joined)
+    and applies it per contig; on a single contig the training data is
+    identical to metagenome mode, so the gene calls are too."""
+    records = list(seqio.parse(FNA_1737))
+    meta = {(g.start, g.end, int(g.strand)) for g in ScanFinder().find_genes(records)}
+    single = {
+        (g.start, g.end, int(g.strand))
+        for g in ScanFinder(metagenome=False).find_genes(records)
+    }
+    assert single == meta
+
+
+def test_scan_finder_thread_pool():
+    """``cpus`` drives a thread pool over contigs with stable ordering."""
+    from gecco_tpu.seq import SeqRecord
+
+    records = list(seqio.parse(FNA_1737))
+    two = [records[0], SeqRecord(id="copy", seq=records[0].seq)]
+    serial = [(g.protein.id, g.start, g.end) for g in ScanFinder(cpus=1).find_genes(two)]
+    threaded = [(g.protein.id, g.start, g.end) for g in ScanFinder(cpus=4).find_genes(two)]
+    assert serial == threaded
+    assert any(pid.startswith("copy_") for pid, _, _ in serial)
 
 
 def test_scan_finder_translations_match_golden():
