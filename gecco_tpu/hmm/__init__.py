@@ -156,7 +156,11 @@ def embedded_hmms(directory: Optional[str] = None) -> Iterator[HMM]:
     """Discover embedded HMM libraries described by ``*.ini`` sidecars.
 
     Each ``NAME.ini`` must sit next to a ``NAME.hmm`` (HMMER3 ASCII,
-    possibly gzipped as ``NAME.hmm.gz``).
+    possibly gzipped as ``NAME.hmm.gz``).  The reference additionally
+    builds pressed binary ``.h3m`` (``/root/reference/setup.py:344-372``);
+    this package stores its libraries as (gzipped) ASCII only —
+    ``tools/build_data.py`` writes ``.hmm.gz`` — and the parser rejects
+    binary ``.h3m`` input with a clear error (``io.parse_hmmer3``).
     """
     directory = directory or _DATA_DIR
     for filename in sorted(os.listdir(directory)):
@@ -167,7 +171,7 @@ def embedded_hmms(directory: Optional[str] = None) -> Iterator[HMM]:
         args: Dict[str, Any] = dict(cfg.items("hmm"))
         size = int(args.pop("size", 0))
         stem = os.path.join(directory, filename[:-4])
-        for suffix in (".hmm", ".hmm.gz", ".h3m"):
+        for suffix in (".hmm", ".hmm.gz"):
             if os.path.exists(stem + suffix):
                 yield HMM(path=stem + suffix, size=size, **args)
                 break

@@ -25,7 +25,7 @@ import numpy
 from .io import AMINO_ALPHABET
 from .profile import SearchProfile, length_model
 
-__all__ = ["ProfileBank", "forward_scores", "msv_scores", "ssv_scores"]
+__all__ = ["ProfileBank", "forward_scores", "viterbi_scores", "msv_scores", "ssv_scores"]
 
 _K = 21  # 20 amino acids + degenerate
 
@@ -63,6 +63,8 @@ class ProfileBank:
     fwd_lambda: "numpy.ndarray"  # [P]
     msv_mu: "numpy.ndarray"      # [P] MSV Gumbel mu (bits)
     msv_lambda: "numpy.ndarray"  # [P]
+    vit_mu: "numpy.ndarray"      # [P] VITERBI Gumbel mu (bits)
+    vit_lambda: "numpy.ndarray"  # [P]
 
     @property
     def P(self) -> int:
@@ -84,7 +86,8 @@ class ProfileBank:
         msv_tbm = numpy.zeros(P, dtype=numpy.float32)
         lengths = numpy.zeros(P, dtype=numpy.int32)
         stats = {key: numpy.zeros(P, dtype=numpy.float32) for key in
-                 ("fwd_tau", "fwd_lambda", "msv_mu", "msv_lambda")}
+                 ("fwd_tau", "fwd_lambda", "msv_mu", "msv_lambda",
+                  "vit_mu", "vit_lambda")}
         names, accessions = [], []
         for p, gm in enumerate(profiles):
             M = gm.M
@@ -107,11 +110,14 @@ class ProfileBank:
             stats["fwd_tau"][p], stats["fwd_lambda"][p] = tau, lam
             mu, mlam = gm.hmm.stats.get("MSV", (0.0, math.log(2.0)))
             stats["msv_mu"][p], stats["msv_lambda"][p] = mu, mlam
+            vmu, vlam = gm.hmm.stats.get("VITERBI", (0.0, math.log(2.0)))
+            stats["vit_mu"][p], stats["vit_lambda"][p] = vmu, vlam
         return cls(
             e_odds=e_odds, msv_tbm=msv_tbm, lengths=lengths,
             names=names, accessions=accessions,
             fwd_tau=stats["fwd_tau"], fwd_lambda=stats["fwd_lambda"],
             msv_mu=stats["msv_mu"], msv_lambda=stats["msv_lambda"],
+            vit_mu=stats["vit_mu"], vit_lambda=stats["vit_lambda"],
             **arrays,
         )
 
@@ -146,6 +152,7 @@ class ProfileBank:
             accessions=[self.accessions[i] for i in idx],
             fwd_tau=self.fwd_tau[idx], fwd_lambda=self.fwd_lambda[idx],
             msv_mu=self.msv_mu[idx], msv_lambda=self.msv_lambda[idx],
+            vit_mu=self.vit_mu[idx], vit_lambda=self.vit_lambda[idx],
         )
 
 
@@ -258,6 +265,101 @@ def forward_scores(
         loops[i] = math.exp(loop)
         moves[i] = math.exp(move)
     fn = _jit_forward(bank.P, bank.Mp, Lp)
+    out = fn(_bank_tuple(bank), jnp.asarray(xs), jnp.asarray(masks), jnp.asarray(loops), jnp.asarray(moves))
+    return numpy.asarray(out)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_viterbi(P: int, Mp: int, Lp: int):
+    import jax
+    import jax.numpy as jnp
+
+    def one_sequence(args, x, mask, loop, move):
+        (e_odds, tmm, tim, tdm, tmi, tii, tmd, tdd, bm, _msv) = args
+
+        def shift(a):
+            return jnp.pad(a[:, :-1], ((0, 0), (1, 0)))
+
+        def dchain(m_new, tmd_s, tdd_s):
+            # D_k = max(tdd[k-1]*D_{k-1}, m_new[k-1]*tmd[k-1]) — the
+            # max-times recurrence is associative too
+            a = shift(tdd_s)
+            b = shift(m_new * tmd_s)
+
+            def combine(left, right):
+                a1, b1 = left
+                a2, b2 = right
+                return a1 * a2, jnp.maximum(b1 * a2, b2)
+
+            _, d = jax.lax.associative_scan(combine, (a, b), axis=1)
+            return d
+
+        def step(carry, inputs):
+            M, I, D, N, B, J, C, logscale = carry
+            xi, valid = inputs
+            e = jax.lax.dynamic_index_in_dim(e_odds, xi, axis=0, keepdims=False)
+            stay = shift(jnp.maximum(jnp.maximum(M * tmm, I * tim), D * tdm))
+            Mn = e * jnp.maximum(stay, B[:, None] * bm)
+            In = jnp.maximum(M * tmi, I * tii)
+            Dn = dchain(Mn, tmd, tdd)
+            E = jnp.max(jnp.maximum(Mn, Dn), axis=1)
+            Jn = jnp.maximum(J * loop, E * 0.5)
+            Cn = jnp.maximum(C * loop, E * 0.5)
+            Nn = N * loop
+            Bn = jnp.maximum(Nn, Jn) * move
+            total = E + Bn + Nn + Cn + 1e-30
+            inv = 1.0 / total
+            new_logscale = logscale + jnp.log(total)
+            carry_new = (Mn * inv[:, None], In * inv[:, None], Dn * inv[:, None],
+                         Nn * inv, Bn * inv, Jn * inv, Cn * inv, new_logscale)
+            merged = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(valid, new, old), carry_new, carry)
+            return merged, None
+
+        M0 = jnp.zeros((P, Mp), jnp.float32)
+        I0 = jnp.zeros((P, Mp), jnp.float32)
+        D0 = jnp.zeros((P, Mp), jnp.float32)
+        carry, _ = jax.lax.scan(
+            step,
+            (M0, I0, D0, jnp.ones(P, jnp.float32),
+             jnp.zeros(P, jnp.float32) + move, jnp.zeros(P, jnp.float32),
+             jnp.zeros(P, jnp.float32), jnp.zeros(P, jnp.float32)),
+            (x, mask),
+        )
+        return jnp.log(carry[6] * move + 1e-38) + carry[7]
+
+    batched = jax.vmap(one_sequence, in_axes=(None, 0, 0, 0, 0))
+    return jax.jit(lambda args, xs, masks, loops, moves: batched(args, xs, masks, loops, moves))
+
+
+def viterbi_scores(
+    bank: ProfileBank,
+    sequences: Sequence["numpy.ndarray"],
+    pad_to: Optional[int] = None,
+) -> "numpy.ndarray":
+    """Viterbi (max) log-odds scores (nats) of every pair, ``[S, P]``.
+
+    The F2 ``ViterbiFilter`` stage of hmmsearch; per-pair values match
+    ``engine.viterbi_score`` at f32 tolerance.
+    """
+    import jax.numpy as jnp
+
+    S = len(sequences)
+    if S == 0:
+        return numpy.zeros((0, bank.P), dtype=numpy.float32)
+    Lp = pad_to or _round_up(max(len(x) for x in sequences), 32)
+    xs = numpy.zeros((S, Lp), dtype=numpy.int32)
+    masks = numpy.zeros((S, Lp), dtype=bool)
+    loops = numpy.zeros(S, dtype=numpy.float32)
+    moves = numpy.zeros(S, dtype=numpy.float32)
+    for i, x in enumerate(sequences):
+        L = len(x)
+        xs[i, :L] = x
+        masks[i, :L] = True
+        loop, move = length_model(L)
+        loops[i] = math.exp(loop)
+        moves[i] = math.exp(move)
+    fn = _jit_viterbi(bank.P, bank.Mp, Lp)
     out = fn(_bank_tuple(bank), jnp.asarray(xs), jnp.asarray(masks), jnp.asarray(loops), jnp.asarray(moves))
     return numpy.asarray(out)
 

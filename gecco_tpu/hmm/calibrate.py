@@ -30,7 +30,7 @@ from typing import List, Optional, Sequence
 
 import numpy
 
-from .batch import ProfileBank, forward_scores, ssv_scores
+from .batch import ProfileBank, forward_scores, ssv_scores, viterbi_scores
 from .profile import SearchProfile, null1_score
 
 __all__ = ["calibrate"]
@@ -73,24 +73,29 @@ def calibrate(
         except Exception:  # pragma: no cover
             backend = "xla"
     if backend == "pallas":
-        from .kernels import Bucketed, ForwardKernel, SSVKernel
+        from .kernels import Bucketed, ForwardKernel, SSVKernel, ViterbiKernel
 
         ssv = Bucketed(SSVKernel, bank)(seqs)
+        vit = Bucketed(ViterbiKernel, bank)(seqs)
         fwd = Bucketed(ForwardKernel, bank)(seqs)
     else:
         ssv = numpy.asarray(ssv_scores(bank, seqs))
+        vit = numpy.asarray(viterbi_scores(bank, seqs))
         fwd = numpy.asarray(forward_scores(bank, seqs))
     null = null1_score(L)
     bits_ssv = (ssv.astype(numpy.float64) - null) / LOG2   # [n, P]
+    bits_vit = (vit.astype(numpy.float64) - null) / LOG2
     bits_fwd = (fwd.astype(numpy.float64) - null) / LOG2
     lam = LOG2
-    # Gumbel location MLE with fixed lambda
+    # Gumbel location MLE with fixed lambda (MSV and Viterbi fitted
+    # separately, like hmmbuild's two simulations)
     mu = -numpy.log(numpy.mean(numpy.exp(-lam * bits_ssv), axis=0)) / lam
+    vmu = -numpy.log(numpy.mean(numpy.exp(-lam * bits_vit), axis=0)) / lam
     # exponential tail anchored at the empirical tail quantile
     t_tail = numpy.quantile(bits_fwd, 1.0 - tailp, axis=0)
     tau = t_tail + math.log(tailp) / lam
     for p, gm in enumerate(profiles):
         gm.hmm.stats["MSV"] = (float(mu[p]), lam)
-        gm.hmm.stats["VITERBI"] = (float(mu[p]), lam)
+        gm.hmm.stats["VITERBI"] = (float(vmu[p]), lam)
         gm.hmm.stats["FORWARD"] = (float(tau[p]), lam)
     return profiles

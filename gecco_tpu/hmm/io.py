@@ -76,9 +76,24 @@ def _probabilities(tokens: List[str]) -> "numpy.ndarray":
 
 
 def parse_hmmer3(path: Union[str, BinaryIO]) -> Iterator[ProfileHMM]:
-    """Parse all profiles from a HMMER3 ASCII ``.hmm`` file."""
+    """Parse all profiles from a HMMER3 ASCII ``.hmm`` file.
+
+    Pressed binary files (``.h3m``/``.h3f``/``.h3p``, written by
+    ``hmmpress``/pyhmmer — what the reference's ``setup.py build_data``
+    produces) are detected by their non-ASCII magic and rejected with a
+    clear error: convert with ``hmmconvert`` (or keep the ``.hmm`` the
+    binary was pressed from).
+    """
     with zopen(path) as handle:
-        text = handle.read().decode()
+        raw = handle.read()
+    try:
+        text = raw.decode()
+    except UnicodeDecodeError:
+        raise ValueError(
+            "binary HMMER file (.h3m/.h3f/.h3p) is not supported: "
+            "provide the HMMER3 ASCII .hmm it was pressed from "
+            "(hmmconvert writes one)"
+        ) from None
     lines = iter(text.splitlines())
     header: Optional[str] = None
     for line in lines:

@@ -30,7 +30,8 @@ from .profile import length_model
 
 __all__ = [
     "msv_scores_pallas", "MSVKernel", "SSVKernel", "ForwardKernel",
-    "PairForwardKernel", "PairBucketed", "Bucketed", "SeqPack",
+    "ViterbiKernel", "PairForwardKernel", "PairBucketed", "Bucketed",
+    "SeqPack",
 ]
 
 NEG = -1e30
@@ -607,7 +608,8 @@ class Bucketed:
 
 @functools.lru_cache(maxsize=None)
 def _pallas_fwd(P: int, Mp: int, Lp: int, S: int, Pc: int, masked: bool,
-                interpret: bool, nd: Optional[int] = None):
+                interpret: bool, nd: Optional[int] = None,
+                viterbi: bool = False):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -616,6 +618,10 @@ def _pallas_fwd(P: int, Mp: int, Lp: int, S: int, Pc: int, masked: bool,
     n_chunks = P // Pc
     n_doubling = nd if nd is not None else int(math.log2(Mp))
     assert 1 << int(math.log2(Mp)) == Mp, "Mp must be a power of two"
+    # max-plus (Viterbi) vs sum-product (Forward) semiring: the uniform
+    # per-step rescaling trick is valid for both (positive scaling
+    # commutes with max as well as with +)
+    add = jnp.maximum if viterbi else (lambda a, b: a + b)
 
     def kernel(xs_ref, lens_ref, loops_ref, moves_ref,
                e_ref, tmm_ref, tim_ref, tdm_ref, tmi_ref, tii_ref,
@@ -640,7 +646,7 @@ def _pallas_fwd(P: int, Mp: int, Lp: int, S: int, Pc: int, masked: bool,
         tdd_shifted = shift1(tdd)  # a_k = tdd[k-1]
 
         def dchain(m_new):
-            # D_k = tdd[k-1] * D_{k-1} + m_new[k-1] * tmd[k-1]
+            # D_k = tdd[k-1] (*) D_{k-1} (+) m_new[k-1] * tmd[k-1]
             a = tdd_shifted
             b = shift1(m_new * tmd)
             shift = 1
@@ -650,7 +656,7 @@ def _pallas_fwd(P: int, Mp: int, Lp: int, S: int, Pc: int, masked: bool,
                 mask = lane >= shift
                 prev_a = jnp.where(mask, rolled_a, 1.0)
                 prev_b = jnp.where(mask, rolled_b, 0.0)
-                b = prev_b * a + b
+                b = add(prev_b * a, b)
                 a = prev_a * a
                 shift *= 2
             return b
@@ -664,15 +670,18 @@ def _pallas_fwd(P: int, Mp: int, Lp: int, S: int, Pc: int, masked: bool,
                 M, I, D, N, B, J, C, logscale = carry
                 xi = xs_ref[0, s, i]
                 e = e_ref[xi]  # [Pc, Mp] odds
-                stay = shift1(M * tmm + I * tim + D * tdm)
-                Mn = e * (stay + B * bm)
-                In = M * tmi + I * tii
+                stay = shift1(add(add(M * tmm, I * tim), D * tdm))
+                Mn = e * add(stay, B * bm)
+                In = add(M * tmi, I * tii)
                 Dn = dchain(Mn)
-                E = jnp.sum(Mn + Dn, axis=1, keepdims=True)  # [Pc, 1]
-                Jn = J * loop + E * 0.5
-                Cn = C * loop + E * 0.5
+                if viterbi:
+                    E = jnp.max(jnp.maximum(Mn, Dn), axis=1, keepdims=True)
+                else:
+                    E = jnp.sum(Mn + Dn, axis=1, keepdims=True)  # [Pc, 1]
+                Jn = add(J * loop, E * 0.5)
+                Cn = add(C * loop, E * 0.5)
                 Nn = N * loop
-                Bn = (Nn + Jn) * move
+                Bn = add(Nn, Jn) * move
                 total = E + Bn + Nn + Cn + 1e-30
                 inv = 1.0 / total
                 return (Mn * inv, In * inv, Dn * inv,
@@ -716,7 +725,7 @@ def _pallas_fwd(P: int, Mp: int, Lp: int, S: int, Pc: int, masked: bool,
 
 @functools.lru_cache(maxsize=None)
 def _pallas_pair_fwd(Mp: int, Lp: int, C: int, masked: bool, interpret: bool,
-                     nd: Optional[int] = None):
+                     nd: Optional[int] = None, viterbi: bool = False):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -724,6 +733,7 @@ def _pallas_pair_fwd(Mp: int, Lp: int, C: int, masked: bool, interpret: bool,
 
     n_doubling = nd if nd is not None else int(math.log2(Mp))
     assert 1 << int(math.log2(Mp)) == Mp, "Mp must be a power of two"
+    add = jnp.maximum if viterbi else (lambda a, b: a + b)
 
     def kernel(xs_ref, starts_ref, ends_ref, loops_ref, moves_ref,
                e_ref, tmm_ref, tim_ref, tdm_ref, tmi_ref, tii_ref,
@@ -758,7 +768,7 @@ def _pallas_pair_fwd(Mp: int, Lp: int, C: int, masked: bool, interpret: bool,
                 mask = lane >= shift
                 prev_a = jnp.where(mask, rolled_a, 1.0)
                 prev_b = jnp.where(mask, rolled_b, 0.0)
-                b = prev_b * a + b
+                b = add(prev_b * a, b)
                 a = prev_a * a
                 shift *= 2
             return b
@@ -772,15 +782,18 @@ def _pallas_pair_fwd(Mp: int, Lp: int, C: int, masked: bool, interpret: bool,
             M, I, D, N, B, J, Cc, logscale = carry
             xi = xs_ref[0, j, i]
             e = e_ref[xi, 0]  # [C, Mp] odds of this sequence's survivor rows
-            stay = shift1(M * tmm + I * tim + D * tdm)
-            Mn = e * (stay + B * bm)
-            In = M * tmi + I * tii
+            stay = shift1(add(add(M * tmm, I * tim), D * tdm))
+            Mn = e * add(stay, B * bm)
+            In = add(M * tmi, I * tii)
             Dn = dchain(Mn)
-            E = jnp.sum(Mn + Dn, axis=1, keepdims=True)  # [C, 1]
-            Jn = J * loop + E * 0.5
-            Cn = Cc * loop + E * 0.5
+            if viterbi:
+                E = jnp.max(jnp.maximum(Mn, Dn), axis=1, keepdims=True)
+            else:
+                E = jnp.sum(Mn + Dn, axis=1, keepdims=True)  # [C, 1]
+            Jn = add(J * loop, E * 0.5)
+            Cn = add(Cc * loop, E * 0.5)
             Nn = N * loop
-            Bn = (Nn + Jn) * move
+            Bn = add(Nn, Jn) * move
             total = E + Bn + Nn + Cn + 1e-30
             inv = 1.0 / total
             return (Mn * inv, In * inv, Dn * inv,
@@ -832,11 +845,11 @@ def _pallas_pair_fwd(Mp: int, Lp: int, C: int, masked: bool, interpret: bool,
 @functools.lru_cache(maxsize=None)
 def _pallas_pair_fwd_packed(Mp: int, Lp: int, C: int, masked: bool,
                             interpret: bool, with_ranges: bool,
-                            nd: Optional[int] = None):
+                            nd: Optional[int] = None, viterbi: bool = False):
     """Packed-batch entry: gather sequence rows on device, then DP."""
     import jax
 
-    inner = _pallas_pair_fwd(Mp, Lp, C, masked, interpret, nd)
+    inner = _pallas_pair_fwd(Mp, Lp, C, masked, interpret, nd, viterbi)
 
     def run(xs_all, lens_all, loops_all, moves_all, rows, valid, idx,
             starts, ends, e_odds, *trans):
@@ -874,10 +887,11 @@ class PairForwardKernel:
     survivor pair.
     """
 
-    def __init__(self, bank: ProfileBank):
+    def __init__(self, bank: ProfileBank, viterbi: bool = False):
         import jax.numpy as jnp
 
         self.bank = bank
+        self.viterbi = viterbi
         self.masked = bool((bank.lengths >= bank.Mp).any())
         self.nd = dchain_depth(bank)
         self.e_odds = jnp.asarray(bank.e_odds)
@@ -947,6 +961,7 @@ class PairForwardKernel:
         fn = _pallas_pair_fwd_packed(
             self.bank.Mp, pack.Lp, C, self.masked,
             _auto_interpret(interpret), ranges is not None, self.nd,
+            self.viterbi,
         )
         out = fn(
             pack.xs, pack.lens, pack.loops_exp, pack.moves_exp,
@@ -1851,7 +1866,7 @@ class PairBucketed:
     global profile indices per sequence.
     """
 
-    def __init__(self, bank: ProfileBank, lane: int = 128):
+    def __init__(self, bank: ProfileBank, lane: int = 128, viterbi: bool = False):
         self.bank = bank
         self.buckets = []
         caps: Dict[int, List[int]] = {}
@@ -1865,7 +1880,8 @@ class PairBucketed:
             self.local[idx, 0] = b
             self.local[idx, 1] = numpy.arange(len(idx), dtype=numpy.int32)
             self.buckets.append(
-                (idx, PairForwardKernel(bank.select(idx, lane=lane, width=cap)))
+                (idx, PairForwardKernel(
+                    bank.select(idx, lane=lane, width=cap), viterbi=viterbi))
             )
 
     def __call__(self, sequences, survivors, pad_to=None, interpret=False):
@@ -1953,10 +1969,12 @@ class ForwardKernel:
     axis (log2(Mp) doubling steps of ``pltpu.roll``).
     """
 
-    def __init__(self, bank: ProfileBank, seq_tile: int = 8, profile_chunk: int = 128):
+    def __init__(self, bank: ProfileBank, seq_tile: int = 8, profile_chunk: int = 128,
+                 viterbi: bool = False):
         import jax.numpy as jnp
 
         self.bank = bank
+        self.viterbi = viterbi
         self.masked = bool((bank.lengths >= bank.Mp).any())
         self.seq_tile = seq_tile
         self.Pc = min(profile_chunk, _round_up(bank.P, 8))
@@ -2001,6 +2019,7 @@ class ForwardKernel:
         fn = _pallas_fwd(
             self.P_pad, self.bank.Mp, Lp, self.seq_tile, self.Pc,
             self.masked, _auto_interpret(interpret), dchain_depth(self.bank),
+            self.viterbi,
         )
         out = fn(
             jnp.asarray(xs.reshape(St, self.seq_tile, Lp)),
@@ -2010,3 +2029,12 @@ class ForwardKernel:
             self.e_odds, *self.trans,
         )
         return numpy.asarray(out)[:S, : self.bank.P]
+
+
+class ViterbiKernel(ForwardKernel):
+    """Full-bank Viterbi scorer: the Forward kernel in the max-plus
+    semiring (HMMER's F2 ``ViterbiFilter`` stage; per-pair values match
+    ``engine.viterbi_score`` at f32 tolerance)."""
+
+    def __init__(self, bank: ProfileBank, seq_tile: int = 8, profile_chunk: int = 128):
+        super().__init__(bank, seq_tile, profile_chunk, viterbi=True)

@@ -9,6 +9,11 @@ re-architected for the accelerator:
    Like HMMER ≥3.1 (and therefore pyhmmer) the stage-1 score is the
    single-segment SSV, thresholded with the MSV Gumbel calibration;
    ``filter_stage="msv"`` restores the multi-segment MSV filter.
+1.5. **Viterbi F2 gate** — pair-dense max-plus rescore of the filter
+   survivors, Gumbel P-value threshold ``F2`` (default 1e-3) — the
+   ``ViterbiFilter`` stage of hmmsearch, which shapes the reported hit
+   set, not just speed.  Per-stage survivor counts are recorded in
+   ``stage_counts``.
 2. **Forward** — batched on-device scores of surviving pairs,
    exponential-tail threshold ``F3`` (default 1e-5).  On the Pallas
    backend this is *pair-dense*: each sequence's surviving profile
@@ -66,6 +71,7 @@ class SearchPipeline:
         Z: Optional[float] = None,
         domZ: Optional[float] = None,
         F1: float = 0.02,
+        F2: float = 1e-3,
         F3: float = 1e-5,
         E: float = 10.0,
         domE: float = 10.0,
@@ -80,7 +86,10 @@ class SearchPipeline:
         self.Z = Z
         self.domZ = domZ
         self.F1 = F1
+        self.F2 = F2
         self.F3 = F3
+        # per-stage survivor counts of the last search() call
+        self.stage_counts: Dict[str, int] = {}
         self.E = E
         self.domE = domE
         if bit_cutoffs not in (None, "gathering", "noise", "trusted"):
@@ -102,6 +111,7 @@ class SearchPipeline:
         self._bank = ProfileBank.build(self.profiles) if self.profiles else None
         self._filter_kernel = None
         self._pair_forward = None
+        self._pair_viterbi = None
         self._pair_domains = None
 
     def _resolve_backend(self) -> str:
@@ -244,8 +254,68 @@ class SearchPipeline:
                 bucket.append(int(i))
             flush(bucket)
 
+        # ---- stage 1.5 (device): Viterbi F2 gate on filter survivors
+        # (hmmsearch runs MSV -> bias -> Viterbi -> Forward; skipping the
+        # Viterbi gate would report pairs hmmsearch drops)
+        self.stage_counts = {
+            "pairs": len(sequences) * len(self.profiles),
+            "F1": sum(len(v) for v in surviving.values()),
+        }
+        if surviving and not self.max_filter and self.use_accelerator:
+            keys = sorted(surviving)
+            if backend == "pallas":
+                if self._pair_viterbi is None:
+                    from .kernels import PairBucketed
+
+                    self._pair_viterbi = PairBucketed(self._bank, viterbi=True)
+                s_loc, p_arr, v_arr = self._pair_viterbi.flat_packed(
+                    pack, numpy.asarray(keys, dtype=numpy.int32),
+                    [surviving[i] for i in keys],
+                )
+                s_arr = numpy.asarray(keys, dtype=numpy.int64)[s_loc]
+            else:
+                from .batch import viterbi_scores
+
+                parts_s: List["numpy.ndarray"] = []
+                parts_p: List["numpy.ndarray"] = []
+                parts_v: List["numpy.ndarray"] = []
+                by_cap: Dict[int, List[int]] = {}
+                for i in keys:
+                    cap = 1 << max(5, int(math.ceil(math.log2(max(1, lengths[i])))))
+                    by_cap.setdefault(cap, []).append(i)
+                for cap, group in sorted(by_cap.items()):
+                    for start in range(0, len(group), 64):
+                        chunk = group[start : start + 64]
+                        union = sorted({p for i in chunk for p in surviving[i]})
+                        sub = self._bank.select(union)
+                        vit = viterbi_scores(sub, [sequences[i] for i in chunk])
+                        col = {p: c for c, p in enumerate(union)}
+                        for s, i in enumerate(chunk):
+                            mine = numpy.asarray(surviving[i], dtype=numpy.int64)
+                            parts_s.append(numpy.full(len(mine), i, dtype=numpy.int64))
+                            parts_p.append(mine)
+                            parts_v.append(
+                                vit[s, [col[p] for p in mine]].astype(numpy.float64))
+                s_arr = numpy.concatenate(parts_s) if parts_s else numpy.zeros(0, numpy.int64)
+                p_arr = numpy.concatenate(parts_p) if parts_p else numpy.zeros(0, numpy.int64)
+                v_arr = numpy.concatenate(parts_v) if parts_v else numpy.zeros(0)
+            bits = (v_arr.astype(numpy.float64) - nullsc[s_arr]) / LOG2
+            bits -= filter_extra(s_arr, p_arr) / LOG2
+            lam = self._bank.vit_lambda[p_arr]
+            mu = self._bank.vit_mu[p_arr]
+            y = lam * (bits - mu)
+            pv = numpy.where(
+                y > 30, numpy.exp(-y),
+                1.0 - numpy.exp(-numpy.exp(-numpy.minimum(y, 30))),
+            )
+            keep = pv <= self.F2
+            surviving = {}
+            for s, p in zip(s_arr[keep], p_arr[keep]):
+                surviving.setdefault(int(s), []).append(int(p))
+
         # ---- stage 2 (device): Forward rescore of surviving pairs
         keys = sorted(surviving)
+        self.stage_counts["F2"] = sum(len(v) for v in surviving.values())
         if not keys:
             return []
         if not self.use_accelerator:
@@ -340,6 +410,7 @@ class SearchPipeline:
             elif bits < cutoff[0]:
                 continue
             candidates.append((i, p, bits, pv))
+        self.stage_counts["F3"] = len(candidates)
         if not candidates:
             return []
 
@@ -389,4 +460,5 @@ class SearchPipeline:
                 score=float(bits), pvalue=float(pv), evalue=float(pv) * Z,
                 domains=reported,
             ))
+        self.stage_counts["reported"] = len(hits)
         return hits

@@ -535,3 +535,54 @@ def test_stream_domains_auto_pack(profiles, sequences):
     assert [(a.ienv, a.jenv) for a in mine] == [
         (b.ienv, b.jenv) for b in expected
     ]
+
+
+def test_viterbi_engines_agree(profiles, sequences):
+    """Viterbi (F2) scores agree host <-> XLA <-> Pallas (full + pair)."""
+    from gecco_tpu.hmm.batch import ProfileBank, viterbi_scores
+    from gecco_tpu.hmm.kernels import Bucketed, PairBucketed, ViterbiKernel
+
+    xs = [x for _, x in sequences]
+    bank = ProfileBank.build(profiles)
+    host = numpy.array(
+        [[engine.viterbi_score(gm, x) for gm in profiles] for x in xs])
+    xla = viterbi_scores(bank, xs)
+    assert numpy.abs(host - xla).max() < 5e-3
+    pallas_full = Bucketed(ViterbiKernel, bank)(xs, interpret=True)
+    assert numpy.abs(host - pallas_full).max() < 5e-3
+    pair = PairBucketed(bank, viterbi=True)(
+        xs, [list(range(len(profiles)))] * len(xs), interpret=True)
+    for s in range(len(xs)):
+        for p in range(len(profiles)):
+            assert abs(host[s, p] - pair[(s, p)]) < 5e-3
+
+
+def test_pipeline_f2_stage_gates_and_counts(profiles, sequences):
+    """The pipeline runs SSV -> Viterbi(F2) -> Forward with monotone
+    survivor counts, and an impossibly strict F2 kills every pair."""
+    xs = [x for _, x in sequences]
+    pipeline = SearchPipeline(profiles, Z=10, domZ=10)
+    hits = pipeline.search(xs)
+    counts = pipeline.stage_counts
+    assert counts["pairs"] == len(xs) * len(profiles)
+    assert counts["pairs"] >= counts["F1"] >= counts["F2"] >= counts["F3"]
+    assert counts["reported"] == len(hits) > 0
+
+    strict = SearchPipeline(profiles, Z=10, domZ=10, F2=1e-300)
+    assert strict.search(xs) == []
+    assert strict.stage_counts["F2"] == 0
+
+    # gate respects the Viterbi P-value: loosening F2 to 1 changes
+    # nothing for the real hits (they pass at the default too)
+    loose = SearchPipeline(profiles, Z=10, domZ=10, F2=1.0)
+    loose_hits = loose.search(xs)
+    assert {(h.sequence_index, h.profile.name) for h in hits} <= {
+        (h.sequence_index, h.profile.name) for h in loose_hits}
+
+
+def test_parse_hmmer3_rejects_binary(tmp_path):
+    """Pressed binary HMM input fails with a clear error, not garbage."""
+    path = tmp_path / "bank.h3m"
+    path.write_bytes(b"\xe8\xb3\xe6\x3f" + bytes(range(256)) * 4)
+    with pytest.raises(ValueError, match="binary HMMER file"):
+        list(parse_hmmer3(str(path)))
