@@ -586,3 +586,106 @@ def test_parse_hmmer3_rejects_binary(tmp_path):
     path.write_bytes(b"\xe8\xb3\xe6\x3f" + bytes(range(256)) * 4)
     with pytest.raises(ValueError, match="binary HMMER file"):
         list(parse_hmmer3(str(path)))
+
+
+# -- multi-domain stress parity (VERDICT r2 item 5) -------------------------
+#
+# Repeat-protein workloads: 2-3 planted copies of the same profile per
+# sequence.  Region finding, envelope splitting, null2, per-domain
+# i-evalues and alignments must agree host <-> XLA <-> Pallas.  Known
+# deviation: envelope *splitting* uses deterministic expected-B
+# crossings (engine._split_region) where HMMER clusters stochastic
+# tracebacks — all engines HERE share that algorithm, so the parity
+# asserted is internal consistency plus count-correctness on planted
+# fixtures (docs/parity.md known-deviation #3 documents the HMMER-side
+# divergence).
+
+
+@pytest.fixture(scope="module")
+def multidomain_workload():
+    from gecco_tpu.hmm.calibrate import calibrate
+    from gecco_tpu.hmm.synthetic import (
+        plant_domain, synthetic_profiles, synthetic_proteins)
+
+    profiles = synthetic_profiles(6, min_length=40, max_length=80, seed=21)
+    calibrate(profiles, n=160, L=160, seed=5)
+    rng = numpy.random.default_rng(11)
+    seqs = [x[:448] for x in synthetic_proteins(8, mean_length=400, seed=13)]
+    planted = {}
+    for i in range(len(seqs)):
+        gm = profiles[i % len(profiles)]
+        copies = 2 + (i % 2)
+        x = seqs[i]
+        stride = max(gm.M + 30, len(x) // (copies + 1))
+        n_planted = 0
+        for c in range(copies):
+            off = 12 + c * stride
+            if off + gm.M + 10 < len(x):
+                # strong homologs (15% divergence): every copy must be
+                # individually detectable so the envelope SPLIT is what
+                # the test exercises, not marginal detection
+                x = plant_domain(x, gm, rng, offset=off, max_len=gm.M,
+                                 divergence=0.15)
+                n_planted += 1
+        seqs[i] = x
+        planted[i] = (gm.name, n_planted)
+    return profiles, seqs, planted
+
+
+def test_multidomain_pallas_matches_xla(multidomain_workload):
+    profiles, seqs, _ = multidomain_workload
+    pallas = SearchPipeline(profiles, Z=6, domZ=6, backend="pallas").search(seqs)
+    xla = SearchPipeline(profiles, Z=6, domZ=6, backend="xla").search(seqs)
+    assert [(h.sequence_index, h.profile.name) for h in pallas] == [
+        (h.sequence_index, h.profile.name) for h in xla]
+    n_multi = 0
+    for a, b in zip(pallas, xla):
+        assert a.score == pytest.approx(b.score, abs=5e-3)
+        assert len(a.domains) == len(b.domains)
+        n_multi += len(a.domains) >= 2
+        for da, db in zip(a.domains, b.domains):
+            assert (da.ienv, da.jenv) == (db.ienv, db.jenv)
+            assert (da.target_from, da.target_to) == (db.target_from, db.target_to)
+            assert (da.hmm_from, da.hmm_to) == (db.hmm_from, db.hmm_to)
+            # bitscore includes the null2 correction on both paths
+            assert da.bitscore == pytest.approx(db.bitscore, abs=5e-2)
+            assert da.i_evalue == pytest.approx(db.i_evalue, rel=0.2)
+    assert n_multi >= 3  # the workload genuinely exercises splitting
+
+
+def test_multidomain_envelopes_match_host(multidomain_workload):
+    """Per reported pair the float64 host engine defines the same
+    envelopes/alignments (region finding + expected-B splitting +
+    null2 + optimal accuracy, engine.define_domains)."""
+    profiles, seqs, _ = multidomain_workload
+    by_name = {gm.name: gm for gm in profiles}
+    hits = SearchPipeline(profiles, Z=6, domZ=6, backend="xla").search(seqs)
+    assert hits
+    for h in hits:
+        gm = by_name[h.profile.name]
+        expected = [
+            d for d in engine.define_domains(gm, seqs[h.sequence_index])
+            if d.pvalue * 6 <= 10.0
+        ]
+        assert len(h.domains) == len(expected)
+        for da, db in zip(h.domains, expected):
+            assert (da.ienv, da.jenv) == (db.ienv, db.jenv)
+            assert (da.target_from, da.target_to) == (db.target_from, db.target_to)
+            assert (da.hmm_from, da.hmm_to) == (db.hmm_from, db.hmm_to)
+            assert da.bitscore == pytest.approx(db.bitscore, abs=5e-2)
+
+
+def test_multidomain_counts_match_planted(multidomain_workload):
+    """Well-separated tandem copies are resolved into that many
+    envelopes for the planted profile."""
+    profiles, seqs, planted = multidomain_workload
+    hits = SearchPipeline(profiles, Z=6, domZ=6, backend="xla").search(seqs)
+    by_pair = {(h.sequence_index, h.profile.name): h for h in hits}
+    resolved = 0
+    for i, (name, n_planted) in planted.items():
+        h = by_pair.get((i, name))
+        if h is not None and len(h.domains) == n_planted:
+            resolved += 1
+    # the planted emissions are diverged homologs; most but not
+    # necessarily all pairs resolve to the exact copy count
+    assert resolved >= len(planted) - 2
