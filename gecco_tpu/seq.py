@@ -127,19 +127,37 @@ class UnknownSeq(Seq):
 
 @dataclass
 class FeatureLocation:
-    """A 0-based, end-exclusive location on a sequence."""
+    """A 0-based, end-exclusive location on a sequence.
+
+    ``parts`` carries the segments of a compound (``join(...)``)
+    location in ascending genomic order; ``start``/``end`` always span
+    the envelope, so coordinate consumers need no special casing, while
+    :meth:`extract` splices the parts (reverse order + reverse
+    complement on the minus strand) like Biopython's
+    ``CompoundLocation.extract`` — the reference translates multi-exon
+    CDS through that path (``gecco/orf.py:149-201``).
+    """
 
     start: int
     end: int
     strand: Optional[int] = None
+    parts: Optional[List["FeatureLocation"]] = None
 
     def __add__(self, offset: int) -> "FeatureLocation":
-        return FeatureLocation(self.start + offset, self.end + offset, self.strand)
+        return FeatureLocation(
+            self.start + offset, self.end + offset, self.strand,
+            [p + offset for p in self.parts] if self.parts else None,
+        )
 
     def __len__(self) -> int:
+        if self.parts:
+            return sum(len(p) for p in self.parts)
         return self.end - self.start
 
     def extract(self, seq: str) -> Seq:
+        if self.parts:
+            ordered = self.parts if self.strand != -1 else list(reversed(self.parts))
+            return Seq("".join(p.extract(seq) for p in ordered))
         sub = seq[self.start : self.end]
         if self.strand == -1:
             return Seq(reverse_complement(sub))

@@ -114,32 +114,65 @@ def write_fasta(records, handle, width: int = 60) -> None:
 _LOCATION_RE = re.compile(r"([<>]?)(\d+)\.\.([<>]?)(\d+)")
 
 
-def _parse_location(text: str) -> Optional[FeatureLocation]:
-    """Parse a GenBank location string into a flat FeatureLocation.
+def _split_top_level(text: str) -> List[str]:
+    """Split a location string on commas outside parentheses."""
+    parts: List[str] = []
+    depth = 0
+    current: List[str] = []
+    for ch in text:
+        if ch == "," and depth == 0:
+            parts.append("".join(current))
+            current = []
+            continue
+        depth += (ch == "(") - (ch == ")")
+        current.append(ch)
+    parts.append("".join(current))
+    return parts
 
-    ``join(...)`` locations collapse to their envelope (the pipeline only
-    needs CDS extents); ``complement`` flips the strand.
+
+def _flip(location: FeatureLocation) -> FeatureLocation:
+    strand = -(location.strand or 1)
+    return FeatureLocation(
+        location.start, location.end, strand,
+        [_flip(p) for p in location.parts] if location.parts else None,
+    )
+
+
+def _parse_location(text: str) -> Optional[FeatureLocation]:
+    """Parse a GenBank location string into a FeatureLocation.
+
+    ``join(...)``/``order(...)`` become compound locations whose
+    ``start``/``end`` span the envelope and whose ``parts`` (ascending
+    genomic order) splice correctly in ``extract`` — matching Biopython,
+    which the reference uses for multi-exon CDS translation
+    (``gecco/orf.py:149-201``).  ``complement`` flips the strand of the
+    location and all its parts.
     """
     text = text.replace(" ", "")
-    strand = 1
-    while True:
-        if text.startswith("complement(") and text.endswith(")"):
-            strand = -strand
-            text = text[len("complement(") : -1]
-        elif text.startswith(("join(", "order(")) and text.endswith(")"):
-            text = text[text.index("(") + 1 : -1]
-        else:
-            break
-    matches = _LOCATION_RE.findall(text)
-    if not matches:
+    if text.startswith("complement(") and text.endswith(")"):
+        inner = _parse_location(text[len("complement(") : -1])
+        return None if inner is None else _flip(inner)
+    if text.startswith(("join(", "order(")) and text.endswith(")"):
+        segments = _split_top_level(text[text.index("(") + 1 : -1])
+        parts = [_parse_location(s) for s in segments]
+        if any(p is None for p in parts):
+            return None
+        parts = sorted(parts, key=lambda p: (p.start, p.end))  # type: ignore[union-attr]
+        if len(parts) == 1:
+            return parts[0]
+        strands = {p.strand for p in parts}  # type: ignore[union-attr]
+        strand = strands.pop() if len(strands) == 1 else 1
+        return FeatureLocation(
+            parts[0].start, max(p.end for p in parts), strand, parts,  # type: ignore[union-attr]
+        )
+    match = _LOCATION_RE.search(text)
+    if match is None:
         single = re.match(r"^[<>]?(\d+)$", text)
         if single:
             pos = int(single.group(1))
-            return FeatureLocation(pos - 1, pos, strand)
+            return FeatureLocation(pos - 1, pos, 1)
         return None
-    starts = [int(m[1]) for m in matches]
-    ends = [int(m[3]) for m in matches]
-    return FeatureLocation(min(starts) - 1, max(ends), strand)
+    return FeatureLocation(int(match.group(2)) - 1, int(match.group(4)), 1)
 
 
 def parse_genbank(path: Union[str, "BinaryIO"]) -> Iterator[SeqRecord]:

@@ -207,3 +207,71 @@ def test_predict_merge_gbk(tmp_path):
     ], stream)
     assert code == 0, stream.getvalue()
     assert (tmp_path / "BGC0001866.clusters.gbk").exists()
+
+
+def test_cv_end_to_end(tmp_path):
+    """`gecco cv` on a synthetic corpus: k-fold fit -> held-out predict
+    -> fold table with `fold`/`is_cluster` columns -> AUROC/AUPR > 0.8
+    (the reference only smoke-tests `cv --help`; SURVEY.md §4 calls for
+    better).  Matches `gecco/cli/commands/cv.py:175-217` behavior."""
+    from gecco_tpu.model import ClusterTable, FeatureTable, GeneTable
+    from test_train import _synthetic_genes
+
+    genes = _synthetic_genes(n_contigs=6, length=40, seed=3)
+    with open(tmp_path / "genes.tsv", "wb") as f:
+        GeneTable.from_genes(genes).dump(f)
+    with open(tmp_path / "features.tsv", "wb") as f:
+        FeatureTable.from_genes(genes).dump(f)
+    # cluster rows = the contiguous probability-1 runs of each contig
+    rows = {"sequence_id": [], "cluster_id": [], "start": [], "end": [],
+            "average_p": [], "max_p": [], "type": [],
+            "proteins": [], "domains": []}
+    by_source = {}
+    for g in genes:
+        by_source.setdefault(g.source.id, []).append(g)
+    for seq_id, group in by_source.items():
+        inside = [g for g in group if g.average_probability == 1.0]
+        rows["sequence_id"].append(seq_id)
+        rows["cluster_id"].append(f"{seq_id}_cluster_1")
+        rows["start"].append(min(g.start for g in inside))
+        rows["end"].append(max(g.end for g in inside))
+        rows["average_p"].append(1.0)
+        rows["max_p"].append(1.0)
+        rows["type"].append("Polyketide")
+        rows["proteins"].append(";".join(g.protein.id for g in inside))
+        rows["domains"].append("")
+    with open(tmp_path / "clusters.tsv", "wb") as f:
+        ClusterTable(rows).dump(f)
+
+    stream = io.StringIO()
+    code = main([
+        "cv",
+        "-g", str(tmp_path / "genes.tsv"),
+        "-f", str(tmp_path / "features.tsv"),
+        "-c", str(tmp_path / "clusters.tsv"),
+        "-o", str(tmp_path / "cv.tsv"),
+        "--splits", "3", "-W", "10", "--c1", "0.05", "--c2", "0.0",
+        "--seed", "42",
+    ], stream)
+    assert code == 0, stream.getvalue()
+
+    rows = _rows(tmp_path / "cv.tsv")
+    header = rows[0].split("\t")
+    assert header[-2:] == ["fold", "is_cluster"]
+    folds = set()
+    labels, probas = [], []
+    for line in rows[1:]:
+        fields = line.split("\t")
+        folds.add(fields[-2])
+        labels.append(fields[-1] == "true")
+        probas.append(float(fields[header.index("average_p")]))
+    assert folds == {"1", "2", "3"}
+    assert len(labels) == len(genes)  # every gene predicted exactly once
+
+    from gecco_tpu.crf.metrics import average_precision_score, roc_auc_score
+
+    auroc = roc_auc_score(labels, probas)
+    aupr = average_precision_score(labels, probas)
+    assert math.isfinite(auroc) and math.isfinite(aupr)
+    assert auroc > 0.8, auroc
+    assert aupr > 0.8, aupr

@@ -82,3 +82,53 @@ def test_parse_golden_cluster_gbk():
     misc = [f for f in record.features if f.type == "misc_feature"]
     assert len(cds) == 23
     assert len(misc) == 37  # one per features.tsv row
+
+
+def test_parse_compound_locations():
+    """join()/complement(join()) CDS splice their parts on extract
+    (multi-exon CDS re-translation, reference `gecco/orf.py:149-201`
+    via Biopython CompoundLocation; previously collapsed to the
+    envelope)."""
+    from gecco_tpu.seqio import _parse_location
+
+    #            0123456789012345678
+    seq =       "ATGAAATTTCCCGGGTAG"
+    loc = _parse_location("join(1..6,13..18)")
+    assert (loc.start, loc.end, loc.strand) == (0, 18, 1)
+    assert len(loc.parts) == 2
+    assert str(loc.extract(seq)) == "ATGAAAGGGTAG"
+    assert len(loc) == 12
+
+    rc = _parse_location("complement(join(1..6,13..18))")
+    assert (rc.start, rc.end, rc.strand) == (0, 18, -1)
+    # minus strand: parts in reverse order, each reverse-complemented
+    from gecco_tpu.seq import reverse_complement
+
+    assert str(rc.extract(seq)) == reverse_complement("ATGAAAGGGTAG")
+
+    # offsets shift every part
+    shifted = loc + 10
+    assert (shifted.start, shifted.end) == (10, 28)
+    assert [(p.start, p.end) for p in shifted.parts] == [(10, 16), (22, 28)]
+
+
+def test_cds_finder_compound_translation():
+    """CDSFinder re-translates a join() CDS from spliced parts when no
+    `translation` qualifier is present."""
+    from gecco_tpu.orf import CDSFinder
+    from gecco_tpu.seq import Seq, SeqRecord
+    from gecco_tpu.seqio import _parse_location
+
+    seq = Seq("ATGAAATTTCCCGGGTAA")
+    record = SeqRecord(id="x", seq=seq)
+    from gecco_tpu.seq import SeqFeature
+
+    record.features.append(SeqFeature(
+        location=_parse_location("join(1..6,13..18)"), type="CDS",
+        qualifiers={"locus_tag": ["x_1"]},
+    ))
+    (gene,) = CDSFinder().find_genes([record])
+    # the stop codon translates to a trailing '*' exactly like the
+    # reference's Biopython translate() on this path
+    assert str(gene.protein.seq) == "MKG*"
+    assert (gene.start, gene.end) == (1, 18)
