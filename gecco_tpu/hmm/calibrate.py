@@ -76,8 +76,8 @@ def calibrate(
         from .kernels import Bucketed, ForwardKernel, SSVKernel, ViterbiKernel
 
         ssv = Bucketed(SSVKernel, bank)(seqs)
-        vit = Bucketed(ViterbiKernel, bank)(seqs)
-        fwd = Bucketed(ForwardKernel, bank)(seqs)
+        vit = Bucketed(ViterbiKernel, bank, pow2=True)(seqs)
+        fwd = Bucketed(ForwardKernel, bank, pow2=True)(seqs)
     else:
         ssv = numpy.asarray(ssv_scores(bank, seqs))
         vit = numpy.asarray(viterbi_scores(bank, seqs))

@@ -533,14 +533,20 @@ class Bucketed:
     original profile order — same results, ~1.5–2× fewer padded cells.
     """
 
-    def __init__(self, kernel_cls, bank: ProfileBank, lane: int = 128, **kwargs):
+    def __init__(self, kernel_cls, bank: ProfileBank, lane: int = 128,
+                 pow2: bool = False, **kwargs):
         self.bank = bank
         self.buckets = []
         caps = {}
         for i, m in enumerate(bank.lengths):
             # exclusive cap (M < cap): the guaranteed trailing pad lane
             # lets kernels skip lane-0 masking of the node shift
-            caps.setdefault(_round_up(max(8, int(m) + 1), lane), []).append(i)
+            cap = _round_up(max(8, int(m) + 1), lane)
+            if pow2:
+                # the Forward/Viterbi delete-chain doubling scan
+                # requires power-of-two padded widths
+                cap = 1 << (cap - 1).bit_length()
+            caps.setdefault(cap, []).append(i)
         for cap in sorted(caps):
             idx = numpy.asarray(caps[cap], dtype=numpy.int64)
             sub = bank.select(idx, lane=lane, width=cap)
@@ -1871,8 +1877,10 @@ class PairBucketed:
         self.buckets = []
         caps: Dict[int, List[int]] = {}
         for i, m in enumerate(bank.lengths):
-            # exclusive cap (M < cap), as in Bucketed: no lane-0 masking
-            caps.setdefault(_round_up(max(8, int(m) + 1), lane), []).append(i)
+            # exclusive cap (M < cap), as in Bucketed: no lane-0 masking;
+            # power-of-two width for the delete-chain doubling scan
+            cap = _round_up(max(8, int(m) + 1), lane)
+            caps.setdefault(1 << (cap - 1).bit_length(), []).append(i)
         # global index -> (bucket number, local row)
         self.local = numpy.zeros((bank.P, 2), dtype=numpy.int32)
         for b, cap in enumerate(sorted(caps)):

@@ -35,6 +35,7 @@ elsewhere).
 """
 
 import math
+import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -88,8 +89,12 @@ class SearchPipeline:
         self.F1 = F1
         self.F2 = F2
         self.F3 = F3
-        # per-stage survivor counts of the last search() call
+        # per-stage survivor counts / wall seconds / DP cells (L x M per
+        # pair) of the last search() call — the bench reads these for
+        # honest per-stage Gcells/s reporting
         self.stage_counts: Dict[str, int] = {}
+        self.stage_seconds: Dict[str, float] = {}
+        self.stage_cells: Dict[str, float] = {}
         self.E = E
         self.domE = domE
         if bit_cutoffs not in (None, "gathering", "noise", "trusted"):
@@ -185,6 +190,17 @@ class SearchPipeline:
         backend = self._resolve_backend() if self.use_accelerator else "xla"
         pair_scores: Dict[Tuple[int, int], float] = {}
         surviving: Dict[int, List[int]] = {}
+        model_lengths = self._bank.lengths.astype(numpy.float64)
+
+        def pair_cells(surv: Dict[int, List[int]]) -> float:
+            return float(sum(
+                lengths[i] * model_lengths[profs].sum()
+                for i, profs in surv.items()
+            ))
+
+        self.stage_seconds = {}
+        self.stage_cells = {}
+        t_stage = time.perf_counter()
 
         # Length-bucketing matters only for the XLA engines, whose scan
         # length is the padded shape.  The Pallas kernels bound their
@@ -254,6 +270,9 @@ class SearchPipeline:
                 bucket.append(int(i))
             flush(bucket)
 
+        self.stage_seconds["filter"] = time.perf_counter() - t_stage
+        self.stage_cells["filter"] = float(lengths.sum()) * model_lengths.sum()
+
         # ---- stage 1.5 (device): Viterbi F2 gate on filter survivors
         # (hmmsearch runs MSV -> bias -> Viterbi -> Forward; skipping the
         # Viterbi gate would report pairs hmmsearch drops)
@@ -261,6 +280,8 @@ class SearchPipeline:
             "pairs": len(sequences) * len(self.profiles),
             "F1": sum(len(v) for v in surviving.values()),
         }
+        t_stage = time.perf_counter()
+        self.stage_cells["viterbi"] = pair_cells(surviving)
         if surviving and not self.max_filter and self.use_accelerator:
             keys = sorted(surviving)
             if backend == "pallas":
@@ -313,9 +334,13 @@ class SearchPipeline:
             for s, p in zip(s_arr[keep], p_arr[keep]):
                 surviving.setdefault(int(s), []).append(int(p))
 
+        self.stage_seconds["viterbi"] = time.perf_counter() - t_stage
+
         # ---- stage 2 (device): Forward rescore of surviving pairs
         keys = sorted(surviving)
         self.stage_counts["F2"] = sum(len(v) for v in surviving.values())
+        t_stage = time.perf_counter()
+        self.stage_cells["forward"] = pair_cells(surviving)
         if not keys:
             return []
         if not self.use_accelerator:
@@ -389,6 +414,9 @@ class SearchPipeline:
                         for p in surviving[i]:
                             pair_scores[(i, p)] = float(fwd[s, col[p]])
 
+        self.stage_seconds["forward"] = time.perf_counter() - t_stage
+        t_stage = time.perf_counter()
+
         # ---- stage 3: Forward threshold, domain definition, reporting.
         # Candidate selection first (F3 / E / bit-cutoff gates):
         candidates: List[Tuple[int, int, float, float]] = []
@@ -461,4 +489,8 @@ class SearchPipeline:
                 domains=reported,
             ))
         self.stage_counts["reported"] = len(hits)
+        self.stage_seconds["domains"] = time.perf_counter() - t_stage
+        self.stage_cells["domains"] = float(sum(
+            lengths[i] * model_lengths[p] for i, p, _, _ in candidates
+        ))
         return hits

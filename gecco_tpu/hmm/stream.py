@@ -992,7 +992,10 @@ class StreamDomains:
         self.profiles = list(profiles)
         caps: Dict[int, List[int]] = {}
         for i, m in enumerate(bank.lengths):
-            caps.setdefault(_round_up(max(8, int(m) + 1), lane), []).append(i)
+            # power-of-two widths: the posterior/align kernels run the
+            # delete-chain doubling scan over the full node axis
+            cap = _round_up(max(8, int(m) + 1), lane)
+            caps.setdefault(1 << (cap - 1).bit_length(), []).append(i)
         self.local = numpy.zeros((bank.P, 2), dtype=numpy.int32)
         self.buckets: List[Tuple["numpy.ndarray", _Bucket]] = []
         for b, cap in enumerate(sorted(caps)):

@@ -13,7 +13,10 @@ import numpy
 from .io import BACKGROUND_F, ProfileHMM
 from .profile import SearchProfile, configure_local
 
-__all__ = ["synthetic_profiles", "synthetic_proteins", "plant_domain"]
+__all__ = [
+    "synthetic_profiles", "synthetic_proteins", "plant_domain",
+    "pfam_shaped_lengths", "pfam_shaped_profiles", "synthetic_genome",
+]
 
 
 def synthetic_profiles(
@@ -101,3 +104,88 @@ def plant_domain(
     out = x.copy()
     out[offset : offset + n] = emitted[:n]
     return out
+
+
+def pfam_shaped_lengths(count: int, seed: int = 0) -> "numpy.ndarray":
+    """Model lengths following the real Pfam-A node-count histogram.
+
+    Pfam 35 model lengths are roughly log-normal: median ~=130 nodes,
+    bulk 50-400, a thin tail reaching past 2,000 (e.g. PF12252 at 2207).
+    A clipped log-normal with ``mu=log(140), sigma=0.72`` reproduces
+    that shape closely enough for kernel benchmarking (bucket fill,
+    VMEM budget, padded-width mix) — unlike a uniform [40, 250] draw,
+    which never exercises the wide buckets at all.
+    """
+    rng = numpy.random.default_rng(seed)
+    lengths = rng.lognormal(mean=numpy.log(140.0), sigma=0.72, size=count)
+    return numpy.clip(lengths, 25, 2200).astype(int)
+
+
+def pfam_shaped_profiles(count: int, seed: int = 0) -> List[SearchProfile]:
+    """``synthetic_profiles`` with a real-Pfam length histogram."""
+    lengths = pfam_shaped_lengths(count, seed=seed)
+    rng = numpy.random.default_rng(seed + 1)
+    profiles = []
+    for p, M in enumerate(lengths):
+        M = int(M)
+        match = rng.dirichlet(numpy.full(20, 0.3), size=M + 1)
+        insert = numpy.tile(BACKGROUND_F, (M + 1, 1))
+        trans = numpy.zeros((M + 1, 7))
+        mm = rng.dirichlet(numpy.array([50.0, 1.0, 1.0]), size=M + 1)
+        trans[:, 0:3] = mm
+        trans[:, 3:7] = [0.5, 0.5, 0.6, 0.4]
+        trans[M] = [1.0, 0.0, 0.0, 0.5, 0.5, 1.0, 0.0]
+        hmm = ProfileHMM(
+            name=f"SYN{p:05d}", accession=f"SY{p:05d}.1", description=None,
+            length=M, alphabet="amino", match=match, insert=insert, trans=trans,
+            stats={
+                "MSV": (-8.0 - 0.01 * (M // 10), 0.70),
+                "VITERBI": (-9.0, 0.70),
+                "FORWARD": (-5.0, 0.70),
+            },
+        )
+        profiles.append(configure_local(hmm))
+    return profiles
+
+
+_CODON_BASES = "ACGT"
+
+
+def synthetic_genome(
+    n_genes: int = 3000,
+    mean_gene: int = 900,
+    intergenic: int = 120,
+    seed: int = 0,
+) -> str:
+    """A bacterial-genome-shaped DNA string for gene-caller benchmarks.
+
+    Alternating coding stretches (codon-biased, started with ATG, ended
+    with TAA, strand flipped at random) and short intergenic spacers —
+    random uniform DNA has a stop codon every ~21 codons and therefore
+    produces none of the long-ORF candidate load a real genome gives
+    the scanner; this layout reproduces realistic candidate statistics
+    (ORF length histogram, ~85% coding density).
+    """
+    rng = numpy.random.default_rng(seed)
+    # a biased codon distribution (GC-skewed, like the test genomes)
+    codons = [a + b + c for a in _CODON_BASES for b in _CODON_BASES for c in _CODON_BASES]
+    weights = numpy.array([
+        0.25 if codon in ("TAA", "TAG", "TGA") else
+        2.0 + 1.5 * ((codon[2] in "GC") + (codon[0] in "GC"))
+        for codon in codons
+    ])
+    weights[[codons.index(s) for s in ("TAA", "TAG", "TGA")]] = 0.0
+    weights /= weights.sum()
+    parts: List[str] = []
+    for _ in range(n_genes):
+        n_codons = max(30, int(rng.gamma(4.0, mean_gene / 4.0 / 3)))
+        body = "".join(rng.choice(codons, size=n_codons, p=weights))
+        gene = "ATG" + body + "TAA"
+        if rng.random() < 0.5:
+            complement = str.maketrans("ACGT", "TGCA")
+            gene = gene.translate(complement)[::-1]
+        spacer_len = max(20, int(rng.gamma(2.0, intergenic / 2.0)))
+        spacer = "".join(rng.choice(list(_CODON_BASES), size=spacer_len))
+        parts.append(gene)
+        parts.append(spacer)
+    return "".join(parts)
