@@ -75,7 +75,7 @@ def calibrate(
     if backend == "pallas":
         from .kernels import Bucketed, ForwardKernel, SSVKernel, ViterbiKernel
 
-        ssv = Bucketed(SSVKernel, bank)(seqs)
+        ssv = Bucketed(SSVKernel, bank, pow2=True)(seqs)
         vit = Bucketed(ViterbiKernel, bank, pow2=True)(seqs)
         fwd = Bucketed(ForwardKernel, bank, pow2=True)(seqs)
     else:

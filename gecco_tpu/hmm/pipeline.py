@@ -224,7 +224,10 @@ class SearchPipeline:
             pack = SeqPack(sequences, global_cap)
             if self._filter_kernel is None:
                 cls = SSVKernel if self.filter_stage == "ssv" else MSVKernel
-                self._filter_kernel = Bucketed(cls, self._bank)
+                # pow2 widths: ~5 compiled bucket shapes instead of ~18
+                # on a real-Pfam bank (compiles dominate cold wall time
+                # over the remote link) for <5% extra padded cells
+                self._filter_kernel = Bucketed(cls, self._bank, pow2=True)
             keep = self._filter_kernel.masks(pack, self.F1, bias=use_bias)
             for i in range(len(sequences)):
                 kept = numpy.nonzero(keep[i])[0].tolist()
@@ -355,7 +358,7 @@ class SearchPipeline:
             from .kernels import Bucketed, ForwardKernel
 
             seqs = [sequences[i] for i in keys]
-            fwd = Bucketed(ForwardKernel, self._bank)(seqs)
+            fwd = Bucketed(ForwardKernel, self._bank, pow2=True)(seqs)
             for s, i in enumerate(keys):
                 for p in surviving[i]:
                     pair_scores[(i, p)] = float(fwd[s, p])
