@@ -47,6 +47,22 @@ def _auto_interpret(interpret: bool) -> bool:
     return jax.default_backend() != "tpu"
 
 
+
+def _vmem_chunk(preferred: int, Mp: int, cell_budget: int) -> int:
+    """Largest power-of-two chunk <= preferred with chunk*Mp <= cell_budget.
+
+    Kernel VMEM footprints scale with (chunk x Mp) blocks (double
+    buffered); the budgets below are anchored at empirically-working
+    points on 16 MB-VMEM chips (e.g. the SSV filter at Pc=256, Mp=256)
+    and shrink the chunk for the wide real-Pfam buckets (Mp up to 2048+)
+    instead of overflowing scoped VMEM.
+    """
+    chunk = preferred
+    while chunk > 8 and chunk * Mp > cell_budget:
+        chunk //= 2
+    return max(8, chunk)
+
+
 def dchain_depth(bank: ProfileBank) -> int:
     """Doubling steps needed by the delete-chain prefix scan.
 
@@ -299,7 +315,8 @@ class MSVKernel:
         self.bank = bank
         self.masked = bool((bank.lengths >= bank.Mp).any())
         self.seq_tile = seq_tile
-        self.Pc = min(profile_chunk, _round_up(bank.P, 8))
+        self.Pc = min(_vmem_chunk(profile_chunk, bank.Mp, 65536),
+                      _round_up(bank.P, 8))
         self.P_pad = _round_up(bank.P, self.Pc)
         with numpy.errstate(divide="ignore"):
             e_log = numpy.full((21, self.P_pad, bank.Mp), NEG, dtype=numpy.float32)
@@ -465,7 +482,8 @@ class SSVKernel:
 
         self.bank = bank
         self.seq_tile = seq_tile
-        self.Pc = min(profile_chunk, _round_up(bank.P, 8))
+        self.Pc = min(_vmem_chunk(profile_chunk, bank.Mp, 65536),
+                      _round_up(bank.P, 8))
         self.P_pad = _round_up(bank.P, self.Pc)
         self.masked = bool((bank.lengths >= bank.Mp).any())
         with numpy.errstate(divide="ignore"):
@@ -1934,12 +1952,14 @@ class PairBucketed:
         for b, (global_idx, kern) in enumerate(self.buckets):
             # chunk survivor rows: a sequence with a huge survivor set
             # (low-complexity junk) spreads over several rows instead of
-            # inflating the whole batch's block width
+            # inflating the whole batch's block width; wide buckets take
+            # narrower chunks to fit their [C, Mp] blocks in VMEM
+            chunk_b = min(chunk, _vmem_chunk(chunk, kern.bank.Mp, 32768))
             rows: List[Tuple[int, "numpy.ndarray"]] = []
             for s, profs in enumerate(surv):
                 mine = profs[bucket_of[profs] == b]
-                for c0 in range(0, len(mine), chunk):
-                    rows.append((s, mine[c0 : c0 + chunk]))
+                for c0 in range(0, len(mine), chunk_b):
+                    rows.append((s, mine[c0 : c0 + chunk_b]))
             if not rows:
                 continue
             # bound the kernel's gathered-emissions HBM footprint
@@ -1985,7 +2005,8 @@ class ForwardKernel:
         self.viterbi = viterbi
         self.masked = bool((bank.lengths >= bank.Mp).any())
         self.seq_tile = seq_tile
-        self.Pc = min(profile_chunk, _round_up(bank.P, 8))
+        self.Pc = min(_vmem_chunk(profile_chunk, bank.Mp, 32768),
+                      _round_up(bank.P, 8))
         self.P_pad = _round_up(bank.P, self.Pc)
 
         def pad_rows(a):

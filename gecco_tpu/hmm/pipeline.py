@@ -31,7 +31,10 @@ HMM library size, 2766), or the profile's GA/NC/TC bit cutoffs.
 Device stages run on one of two engines (``backend=``): the Pallas
 kernels (``gecco_tpu.hmm.kernels``, VMEM-resident bank — default on
 TPU) or the XLA batch engines (``gecco_tpu.hmm.batch`` — default
-elsewhere).
+elsewhere).  ``use_accelerator=False`` is the float64 checking path:
+like ``hmmsearch --max`` it skips the F1/F2 gates and Forward-scores
+every pair on the host engine (reported hits are then gated by
+F3/E-value only).
 """
 
 import math

@@ -1135,7 +1135,9 @@ class StreamDomains:
             if pack.Lp < Lps:  # caller passed a narrower pad_to/pack
                 Lps = max(_LC, (pack.Lp // _LC) * _LC)
             nLc = Lps // _LC
-            C = _C_POST
+            # wide buckets take narrower cells: the [Lc, C, Mp]
+            # emission-stream block must fit VMEM (double buffered)
+            C = min(_C_POST, max(8, 65536 // bk.Mp))
             cells = _pow2((R0 + C - 1) // C)
             R = cells * C
             rows = numpy.zeros(R, dtype=numpy.int32)
@@ -1190,7 +1192,7 @@ class StreamDomains:
             order = sorted(range(len(env_rows)),
                            key=lambda e: len(sequences[env_rows[e][0]]))
             NE = len(env_rows)
-            Ca = _C_ALIGN
+            Ca = min(_C_ALIGN, max(8, 32768 // bk.Mp))
             cells_a = _pow2((NE + Ca - 1) // Ca)
             Ra = cells_a * Ca
             rows_a = numpy.zeros(Ra, dtype=numpy.int32)
