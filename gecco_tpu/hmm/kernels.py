@@ -63,6 +63,27 @@ def _vmem_chunk(preferred: int, Mp: int, cell_budget: int) -> int:
     return max(8, chunk)
 
 
+
+def _legal_pc(P: int, Mp: int, preferred: int, cell_budget: int) -> int:
+    """Profile-chunk size that is both VMEM-sized and lane-legal.
+
+    The output block's last dim must be a multiple of 128 or equal to
+    the whole array dim, so a chunk is legal iff ``Pc == P_pad`` (single
+    chunk) or ``Pc % 128 == 0``.  Wide buckets (large ``Mp``) hold few
+    profiles on real banks, so the single-chunk form fits VMEM there;
+    on an adversarial many-wide-profile bank the single-chunk fallback
+    may still exceed scoped VMEM — such banks should use the XLA
+    engines (``backend="xla"``).
+    """
+    P8 = _round_up(max(P, 1), 8)
+    cap = _vmem_chunk(preferred, Mp, cell_budget)
+    if P8 <= cap:
+        return P8          # one chunk over the whole bucket
+    if cap >= 128:
+        return cap         # multiple chunks, lane-aligned
+    return P8              # VMEM-oversized fallback (see docstring)
+
+
 def dchain_depth(bank: ProfileBank) -> int:
     """Doubling steps needed by the delete-chain prefix scan.
 
@@ -315,8 +336,7 @@ class MSVKernel:
         self.bank = bank
         self.masked = bool((bank.lengths >= bank.Mp).any())
         self.seq_tile = seq_tile
-        self.Pc = min(_vmem_chunk(profile_chunk, bank.Mp, 65536),
-                      _round_up(bank.P, 8))
+        self.Pc = _legal_pc(bank.P, bank.Mp, profile_chunk, 65536)
         self.P_pad = _round_up(bank.P, self.Pc)
         with numpy.errstate(divide="ignore"):
             e_log = numpy.full((21, self.P_pad, bank.Mp), NEG, dtype=numpy.float32)
@@ -482,8 +502,7 @@ class SSVKernel:
 
         self.bank = bank
         self.seq_tile = seq_tile
-        self.Pc = min(_vmem_chunk(profile_chunk, bank.Mp, 65536),
-                      _round_up(bank.P, 8))
+        self.Pc = _legal_pc(bank.P, bank.Mp, profile_chunk, 65536)
         self.P_pad = _round_up(bank.P, self.Pc)
         self.masked = bool((bank.lengths >= bank.Mp).any())
         with numpy.errstate(divide="ignore"):
@@ -567,8 +586,18 @@ class Bucketed:
             caps.setdefault(cap, []).append(i)
         for cap in sorted(caps):
             idx = numpy.asarray(caps[cap], dtype=numpy.int64)
-            sub = bank.select(idx, lane=lane, width=cap)
-            self.buckets.append((idx, kernel_cls(sub, **kwargs)))
+            # wide buckets: the lane-legal profile chunk would have to
+            # be a multiple of 128, which no longer fits VMEM — split
+            # the bucket into single-chunk groups that do (conservative
+            # 32k-cell budget covers every kernel's block footprint)
+            group = _vmem_chunk(256, cap, 32768)
+            if group < 128 and len(idx) > group:
+                pieces = [idx[i0 : i0 + group] for i0 in range(0, len(idx), group)]
+            else:
+                pieces = [idx]
+            for piece in pieces:
+                sub = bank.select(piece, lane=lane, width=cap)
+                self.buckets.append((piece, kernel_cls(sub, **kwargs)))
 
     def __call__(self, sequences, pad_to=None, interpret=False):
         out = numpy.zeros((len(sequences), self.bank.P), dtype=numpy.float32)
@@ -2005,8 +2034,7 @@ class ForwardKernel:
         self.viterbi = viterbi
         self.masked = bool((bank.lengths >= bank.Mp).any())
         self.seq_tile = seq_tile
-        self.Pc = min(_vmem_chunk(profile_chunk, bank.Mp, 32768),
-                      _round_up(bank.P, 8))
+        self.Pc = _legal_pc(bank.P, bank.Mp, profile_chunk, 32768)
         self.P_pad = _round_up(bank.P, self.Pc)
 
         def pad_rows(a):

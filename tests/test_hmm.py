@@ -689,3 +689,21 @@ def test_multidomain_counts_match_planted(multidomain_workload):
     # the planted emissions are diverged homologs; most but not
     # necessarily all pairs resolve to the exact copy count
     assert resolved >= len(planted) - 2
+
+
+def test_vmem_chunk_scaling():
+    """Kernel chunks shrink for wide buckets and stay lane-legal."""
+    from gecco_tpu.hmm.kernels import _legal_pc, _vmem_chunk
+
+    assert _vmem_chunk(256, 256, 65536) == 256
+    assert _vmem_chunk(256, 512, 65536) == 128
+    assert _vmem_chunk(256, 1024, 65536) == 64
+    assert _vmem_chunk(256, 2048, 65536) == 32
+    assert _vmem_chunk(64, 8192, 32768) == 8
+    assert _vmem_chunk(64, 256, 32768) == 64
+    # chunks are either whole-bucket or multiples of 128 (lane rule)
+    assert _legal_pc(2000, 256, 256, 65536) == 256
+    assert _legal_pc(2000, 512, 256, 65536) == 128
+    assert _legal_pc(90, 1024, 256, 65536) == 96     # single chunk
+    assert _legal_pc(5, 2048, 256, 65536) == 8       # single chunk
+    assert _legal_pc(10, 128, 256, 65536) == 16      # small bucket
