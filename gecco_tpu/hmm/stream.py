@@ -1136,8 +1136,9 @@ class StreamDomains:
                 Lps = max(_LC, (pack.Lp // _LC) * _LC)
             nLc = Lps // _LC
             # wide buckets take narrower cells: the [Lc, C, Mp]
-            # emission-stream block must fit VMEM (double buffered)
-            C = min(_C_POST, max(8, 65536 // bk.Mp))
+            # emission-stream block must fit VMEM (double buffered;
+            # 32 x C x Mp f32 x 2 + (C, Mp) state -> C*Mp <= 32k)
+            C = min(_C_POST, max(8, 32768 // bk.Mp))
             cells = _pow2((R0 + C - 1) // C)
             R = cells * C
             rows = numpy.zeros(R, dtype=numpy.int32)
