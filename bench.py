@@ -153,9 +153,12 @@ def main() -> None:
     float(jnp.sum(marginals_jax(windows, trans)))
     t_crf = time.perf_counter() - t0
 
-    # ---- normalize to genomes/hour (gene calling + annotate + decode)
+    # ---- normalize to genomes/hour (gene calling + annotate + decode);
+    # a "genome" is 3,000 proteins, so both the caller pass (which found
+    # len(seqs) genes in the 3 Mbp contig) and the search scale by the
+    # same factor
     scale = GENOME_PROTEINS / len(seqs)
-    seconds_per_genome = t_orf + t_search * scale + t_crf
+    seconds_per_genome = (t_orf + t_search) * scale + t_crf
     genomes_per_hour = 3600.0 / seconds_per_genome
     result = {
         "metric": "genomes/hour/chip",

@@ -1193,7 +1193,9 @@ class StreamDomains:
             order = sorted(range(len(env_rows)),
                            key=lambda e: len(sequences[env_rows[e][0]]))
             NE = len(env_rows)
-            Ca = min(_C_ALIGN, max(8, 32768 // bk.Mp))
+            # the align pass streams f32 emissions AND two bf16 state
+            # streams per block -> tighter budget than the posterior
+            Ca = min(_C_ALIGN, max(8, 16384 // bk.Mp))
             cells_a = _pow2((NE + Ca - 1) // Ca)
             Ra = cells_a * Ca
             rows_a = numpy.zeros(Ra, dtype=numpy.int32)
