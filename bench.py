@@ -109,9 +109,27 @@ def main() -> None:
     # HMMER's own): the shipped Pfam .h3m profiles carry simulation-
     # fitted STATS lines; synthetic profiles need the same fit or the
     # filter pass rates (and so the stage-2/3 load) are unrealistic.
-    from gecco_tpu.hmm.calibrate import calibrate
+    # The fit is deterministic for this seed-built bank, so it is cached
+    # on disk exactly like the reference ships pre-calibrated STATS —
+    # a fresh bench process skips the whole simulation pass.
+    stats_cache = os.path.expanduser("~/.gecco_bench_stats_v1.npz")
+    if os.path.exists(stats_cache):
+        payload = numpy.load(stats_cache)
+        for p, gm in enumerate(profiles):
+            gm.hmm.stats["MSV"] = (float(payload["msv"][p]), float(payload["lam"][p]))
+            gm.hmm.stats["VITERBI"] = (float(payload["vit"][p]), float(payload["lam"][p]))
+            gm.hmm.stats["FORWARD"] = (float(payload["fwd"][p]), float(payload["lam"][p]))
+    else:
+        from gecco_tpu.hmm.calibrate import calibrate
 
-    calibrate(profiles)
+        calibrate(profiles)
+        numpy.savez_compressed(
+            stats_cache,
+            msv=numpy.array([gm.hmm.stats["MSV"][0] for gm in profiles]),
+            vit=numpy.array([gm.hmm.stats["VITERBI"][0] for gm in profiles]),
+            fwd=numpy.array([gm.hmm.stats["FORWARD"][0] for gm in profiles]),
+            lam=numpy.array([gm.hmm.stats["MSV"][1] for gm in profiles]),
+        )
 
     pipeline = SearchPipeline(profiles, Z=N_PROFILES, domZ=N_PROFILES)
 

@@ -174,7 +174,9 @@ def _jit_pack_mask(P: int, W: int, bias: bool):
         null = nullsc[:, None]
         if bias:
             delta = counts @ logratio  # [n, P] bias - null1 (nats)
-            null = null + jnp.logaddexp(0.0, delta) - LOG2
+            # clipped at >=0 like the host path: the filter null
+            # never drops below null1 (HMMER p7_bg_FilterScore)
+            null = null + jnp.maximum(jnp.logaddexp(0.0, delta) - LOG2, 0.0)
         keep = scores >= (null + thr[None, :])
         keep = jnp.logical_and(keep, valid[:, None])
         pad = W * 32 - P
@@ -1966,7 +1968,7 @@ class PairBucketed:
         )
 
     def flat_packed(self, pack: SeqPack, seq_rows, survivors,
-                    interpret=False, chunk: int = 64):
+                    interpret=False, chunk: int = 256):
         """:meth:`flat` addressed into an already-uploaded :class:`SeqPack`.
 
         ``seq_rows[s]`` is the pack row of ``survivors[s]``; only index
@@ -1982,13 +1984,19 @@ class PairBucketed:
             # chunk survivor rows: a sequence with a huge survivor set
             # (low-complexity junk) spreads over several rows instead of
             # inflating the whole batch's block width; wide buckets take
-            # narrower chunks to fit their [C, Mp] blocks in VMEM
-            chunk_b = min(chunk, _vmem_chunk(chunk, kern.bank.Mp, 32768))
+            # narrower chunks to fit their [C, Mp] blocks in VMEM, and
+            # narrow (majority) buckets take WIDE chunks — at C=64 the
+            # [C, 128] block is a single vreg row and the kernel is all
+            # per-step overhead
+            chunk_b = _vmem_chunk(chunk, kern.bank.Mp, 32768)
             rows: List[Tuple[int, "numpy.ndarray"]] = []
             for s, profs in enumerate(surv):
                 mine = profs[bucket_of[profs] == b]
                 for c0 in range(0, len(mine), chunk_b):
                     rows.append((s, mine[c0 : c0 + chunk_b]))
+            # group rows of similar width together: each dispatch group
+            # pads every row to its widest member
+            rows.sort(key=lambda r: -len(r[1]))
             if not rows:
                 continue
             # bound the kernel's gathered-emissions HBM footprint

@@ -174,9 +174,10 @@ class SearchPipeline:
                 )[:20]
             if len(sequences) * self._bank.P <= 64_000_000:
                 # one BLAS matmul beats per-pair gathers by ~50x
-                extra_mx = numpy.logaddexp(
+                # (clipped at >=0 — see filter_extra)
+                extra_mx = numpy.maximum(numpy.logaddexp(
                     0.0, counts @ self._logratio
-                ) - LOG2
+                ) - LOG2, 0.0)
 
         def filter_extra(s_arr, p_arr):
             """``filtersc - nullsc`` (nats) per pair; 0 without bias."""
@@ -187,7 +188,11 @@ class SearchPipeline:
             delta = numpy.einsum(
                 "sk,ks->s", counts[s_arr], self._logratio[:, p_arr]
             )
-            return numpy.logaddexp(0.0, delta) - LOG2
+            # clipped at >=0: HMMER's 2-state filter HMM can always take
+            # the all-null1 path, so its filter score never drops BELOW
+            # null1 — without the clip every pair gains ~1 free bit and
+            # the F1 pass rate balloons to 2-3x the calibrated 2%
+            return numpy.maximum(numpy.logaddexp(0.0, delta) - LOG2, 0.0)
 
         # ---- stage 1 (device): SSV/MSV filter of all pairs
         backend = self._resolve_backend() if self.use_accelerator else "xla"
@@ -249,7 +254,8 @@ class SearchPipeline:
                 null = nullsc[bucket][:, None]
                 if use_bias:
                     delta = counts[bucket] @ self._logratio  # [bS, P]
-                    null = null + numpy.logaddexp(0.0, delta) - LOG2
+                    null = null + numpy.maximum(
+                        numpy.logaddexp(0.0, delta) - LOG2, 0.0)
                 bits = (scores - null) / LOG2
                 lam = self._bank.msv_lambda[None, :]
                 mu = self._bank.msv_mu[None, :]
