@@ -332,7 +332,7 @@ class MSVKernel:
     repeated batches pay only the scan cost.
     """
 
-    def __init__(self, bank: ProfileBank, seq_tile: int = 8, profile_chunk: int = 256):
+    def __init__(self, bank: ProfileBank, seq_tile: int = 8, profile_chunk: int = 512):
         import jax.numpy as jnp
 
         self.bank = bank
@@ -499,7 +499,7 @@ class SSVKernel:
     the rolled-in value is the last pad lane, already ``-1e30``.
     """
 
-    def __init__(self, bank: ProfileBank, seq_tile: int = 8, profile_chunk: int = 256):
+    def __init__(self, bank: ProfileBank, seq_tile: int = 8, profile_chunk: int = 512):
         import jax.numpy as jnp
 
         self.bank = bank
@@ -977,7 +977,7 @@ class PairForwardKernel:
         )
 
     def call_packed(self, pack: SeqPack, rows, pair_idx, interpret=False,
-                    ranges=None):
+                    ranges=None, fetch=True):
         """Forward scores for pairs addressed into a :class:`SeqPack`.
 
         ``rows[r]`` is the pack row of kernel row ``r``; ``pair_idx`` as
@@ -1024,7 +1024,9 @@ class PairForwardKernel:
             jnp.asarray(starts), jnp.asarray(ends),
             self.e_odds, *self.trans,
         )
-        return numpy.asarray(out)[:R, :C0]
+        if fetch:
+            return numpy.asarray(out)[:R, :C0]
+        return out[:R, :C0]  # device array: caller syncs after dispatching all
 
 
 @functools.lru_cache(maxsize=None)
@@ -1979,6 +1981,7 @@ class PairBucketed:
         out_s: List["numpy.ndarray"] = []
         out_p: List["numpy.ndarray"] = []
         out_v: List["numpy.ndarray"] = []
+        pending: List[tuple] = []
         surv = [numpy.asarray(profs, dtype=numpy.int64) for profs in survivors]
         for b, (global_idx, kern) in enumerate(self.buckets):
             # chunk survivor rows: a sequence with a huge survivor set
@@ -2001,8 +2004,11 @@ class PairBucketed:
                 continue
             # bound the kernel's gathered-emissions HBM footprint
             # (21 x rows x C x Mp f32): genome-sized batches go out in
-            # row groups instead of one giant call
-            group = max(256, (2048 << 20) // (21 * chunk * kern.bank.Mp * 4))
+            # row groups instead of one giant call.  All groups are
+            # DISPATCHED before any result is fetched — a per-group sync
+            # would pay the remote-device round-trip latency serially
+            # (the same pipelining `Bucketed.masks` does)
+            group = max(256, (2048 << 20) // (21 * chunk_b * kern.bank.Mp * 4))
             for g0 in range(0, len(rows), group):
                 grows = rows[g0 : g0 + group]
                 C0 = max(len(mine) for _, mine in grows)
@@ -2013,12 +2019,15 @@ class PairBucketed:
                     [seq_rows[s] for s, _ in grows], dtype=numpy.int32
                 )
                 scores = kern.call_packed(
-                    pack, krows, pair_idx, interpret=interpret
+                    pack, krows, pair_idx, interpret=interpret, fetch=False
                 )
-                for r, (s, mine) in enumerate(grows):
-                    out_s.append(numpy.full(len(mine), s, dtype=numpy.int64))
-                    out_p.append(mine)
-                    out_v.append(scores[r, : len(mine)])
+                pending.append((grows, scores))
+        for grows, scores in pending:
+            scores = numpy.asarray(scores)
+            for r, (s, mine) in enumerate(grows):
+                out_s.append(numpy.full(len(mine), s, dtype=numpy.int64))
+                out_p.append(mine)
+                out_v.append(scores[r, : len(mine)])
         if not out_s:
             z = numpy.zeros(0)
             return z.astype(numpy.int64), z.astype(numpy.int64), z.astype(numpy.float32)
