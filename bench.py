@@ -48,7 +48,7 @@ GENOME_PROTEINS = 3000
 GENOME_GENES = 3000
 BASELINE_GENOMES_PER_HOUR = 40.0
 N_PROFILES = 2766
-BUDGET_S = float(os.environ.get("GECCO_BENCH_BUDGET", "540"))
+BUDGET_S = float(os.environ.get("GECCO_BENCH_BUDGET", "1500"))
 
 
 def main() -> None:

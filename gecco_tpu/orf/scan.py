@@ -328,12 +328,10 @@ class ScanFinder(ORFFinder):
         """
         log_odds = self._seed_log_odds(strands)
         provisional: List[_Candidate] = []
-        by_strand: dict = {}
         for s in strands:
             scores = self._score_batch(s.codes, s.cands, log_odds)
             for c, coding in zip(s.cands, scores):
                 c.score = float(coding) + self._static_start_bonus(c)
-            by_strand[id(s)] = list(s.cands)
             provisional.extend(self._select_local(s))
         if not provisional:
             return _Model(log_odds, dict(_START_BONUS), numpy.zeros(len(_RBS_MOTIFS) + 1))
@@ -386,7 +384,6 @@ class ScanFinder(ORFFinder):
             return []
         ends = [c.end for c in positive]
         best = [0.0] * (len(positive) + 1)  # best[i] = best using first i, prefix max
-        choice: List[Optional[int]] = [None] * (len(positive) + 1)
         take_score = [0.0] * len(positive)
         parent = [-1] * len(positive)
         for i, candidate in enumerate(positive):
