@@ -112,7 +112,11 @@ def main() -> None:
     # The fit is deterministic for this seed-built bank, so it is cached
     # on disk exactly like the reference ships pre-calibrated STATS —
     # a fresh bench process skips the whole simulation pass.
-    stats_cache = os.path.expanduser("~/.gecco_bench_stats_v1.npz")
+    # cache key includes the bank identity (profile count + total nodes)
+    # so a bank change invalidates it instead of silently mis-assigning
+    total_nodes = sum(gm.M for gm in profiles)
+    stats_cache = os.path.expanduser(
+        f"~/.gecco_bench_stats_{N_PROFILES}x{total_nodes}_v1.npz")
     if os.path.exists(stats_cache):
         payload = numpy.load(stats_cache)
         for p, gm in enumerate(profiles):

@@ -89,6 +89,22 @@ def write_clusters(logger, clusters, *, genome, output_dir, merge: bool = False)
                 seqio.write_genbank([cluster.to_seq_record()], f)
 
 
+def sideload_configuration(args) -> dict:
+    """The 8-key antiSMASH sideload configuration block (one source of
+    truth for run and predict; predict has no gene calling so ``mask``
+    reports False there)."""
+    return {
+        "cds": str(args.cds),
+        "e-filter": str(args.e_filter),
+        "edge-distance": str(args.edge_distance),
+        "mask": str(getattr(args, "mask", False)),
+        "no-pad": str(not args.pad),
+        "p-filter": str(args.p_filter),
+        "postproc": repr(args.postproc),
+        "threshold": str(args.threshold),
+    }
+
+
 def write_sideload_json(logger, clusters, *, genome, output_dir, configuration=None) -> None:
     """AntiSMASH v6 sideload JSON (layout per the reference golden
     ``tests/test_cli/data/BGC0001866.sideload.json``)."""
@@ -283,6 +299,8 @@ def assign_sources(logger, sequences, genes: List, *, genome) -> Iterator:
         # records byte-match the caller's output; the reference resumes
         # with a plain table-1 translate() (_common.py:286-290), which
         # diverges from its own gene caller on non-ATG starts
+        # keep the trailing '*' (Pyrodigal keeps it; the golden GBK
+        # /translation qualifiers end with it)
         protein_seq = Seq(gene_seq).translate(table=11)
         if protein_seq and gene_seq[:3].upper() in ("ATG", "GTG", "TTG"):
             protein_seq = Seq("M" + protein_seq[1:])

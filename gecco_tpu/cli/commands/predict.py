@@ -76,19 +76,7 @@ def run(args, logger, crf_type, classifier_type, default_hmms) -> int:
         logger, clusters, merge=args.merge_gbk, genome=args.genome, output_dir=args.output_dir
     )
     if args.antismash_sideload:
-        # same 8-key configuration block the run command records (and the
-        # golden BGC0001866.sideload.json carries); predict has no gene
-        # calling so --mask does not exist on its parser and reports False
-        configuration = {
-            "cds": str(args.cds),
-            "e-filter": str(args.e_filter),
-            "edge-distance": str(args.edge_distance),
-            "mask": str(getattr(args, "mask", False)),
-            "no-pad": str(not args.pad),
-            "p-filter": str(args.p_filter),
-            "postproc": repr(args.postproc),
-            "threshold": str(args.threshold),
-        }
+        configuration = _common.sideload_configuration(args)
         _common.write_sideload_json(
             logger, clusters, genome=args.genome, output_dir=args.output_dir,
             configuration=configuration,

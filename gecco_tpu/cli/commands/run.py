@@ -92,16 +92,7 @@ def run(args, logger, crf_type, classifier_type, default_hmms) -> int:
         logger, clusters, merge=args.merge_gbk, genome=args.genome, output_dir=args.output_dir
     )
     if args.antismash_sideload:
-        configuration = {
-            "cds": str(args.cds),
-            "e-filter": str(args.e_filter),
-            "edge-distance": str(args.edge_distance),
-            "mask": str(args.mask),
-            "no-pad": str(not args.pad),
-            "p-filter": str(args.p_filter),
-            "postproc": repr(args.postproc),
-            "threshold": str(args.threshold),
-        }
+        configuration = _common.sideload_configuration(args)
         _common.write_sideload_json(
             logger, clusters, genome=args.genome, output_dir=args.output_dir,
             configuration=configuration,

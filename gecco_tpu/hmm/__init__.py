@@ -175,3 +175,13 @@ def embedded_hmms(directory: Optional[str] = None) -> Iterator[HMM]:
             if os.path.exists(stem + suffix):
                 yield HMM(path=stem + suffix, size=size, **args)
                 break
+        else:
+            if os.path.exists(stem + ".h3m"):
+                raise ValueError(
+                    f"{filename}: only a pressed binary {stem + '.h3m'!r} is "
+                    "present; binary HMM files are not supported — provide "
+                    "the HMMER3 ASCII .hmm (hmmconvert writes one)"
+                )
+            raise FileNotFoundError(
+                f"{filename}: no {stem + '.hmm'!r} (or .hmm.gz) next to it"
+            )

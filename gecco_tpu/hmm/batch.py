@@ -164,9 +164,15 @@ def _bank_tuple(bank: ProfileBank):
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_forward(P: int, Mp: int, Lp: int):
+def _jit_forward(P: int, Mp: int, Lp: int, viterbi: bool = False):
     import jax
     import jax.numpy as jnp
+
+    # max-plus (Viterbi) vs sum-product (Forward) semiring — the uniform
+    # per-step rescaling is valid for both (positive scaling commutes
+    # with max as well as with +); same parameterization as the Pallas
+    # kernels (gecco_tpu.hmm.kernels._pallas_fwd)
+    add = jnp.maximum if viterbi else (lambda a, b: a + b)
 
     def one_sequence(args, x, mask, loop, move):
         (e_odds, tmm, tim, tdm, tmi, tii, tmd, tdd, bm, _msv) = args
@@ -175,14 +181,15 @@ def _jit_forward(P: int, Mp: int, Lp: int):
             return jnp.pad(a[:, :-1], ((0, 0), (1, 0)))
 
         def dchain(m_new, tmd_s, tdd_s):
-            # D_k = tdd[k-1]*D_{k-1} + m_new[k-1]*tmd[k-1]  (exact, log2 steps)
+            # D_k = tdd[k-1] (*) D_{k-1} (+) m_new[k-1] * tmd[k-1]
+            # (exact associative scan in either semiring)
             a = shift(tdd_s)
             b = shift(m_new * tmd_s)
 
             def combine(left, right):
                 a1, b1 = left
                 a2, b2 = right
-                return a1 * a2, b1 * a2 + b2
+                return a1 * a2, add(b1 * a2, b2)
 
             _, d = jax.lax.associative_scan(combine, (a, b), axis=1)
             return d
@@ -191,15 +198,18 @@ def _jit_forward(P: int, Mp: int, Lp: int):
             M, I, D, N, B, J, C, logscale = carry
             xi, valid = inputs
             e = jax.lax.dynamic_index_in_dim(e_odds, xi, axis=0, keepdims=False)  # [P, Mp]
-            stay = shift(M * tmm + I * tim + D * tdm)
-            Mn = e * (stay + B[:, None] * bm)
-            In = M * tmi + I * tii
+            stay = shift(add(add(M * tmm, I * tim), D * tdm))
+            Mn = e * add(stay, B[:, None] * bm)
+            In = add(M * tmi, I * tii)
             Dn = dchain(Mn, tmd, tdd)
-            E = jnp.sum(Mn + Dn, axis=1)
-            Jn = J * loop + E * 0.5
-            Cn = C * loop + E * 0.5
+            if viterbi:
+                E = jnp.max(jnp.maximum(Mn, Dn), axis=1)
+            else:
+                E = jnp.sum(Mn + Dn, axis=1)
+            Jn = add(J * loop, E * 0.5)
+            Cn = add(C * loop, E * 0.5)
             Nn = N * loop
-            Bn = (Nn + Jn) * move
+            Bn = add(Nn, Jn) * move
             # rescale to keep f32 in range
             total = E + Bn + Nn + Cn + 1e-30
             inv = 1.0 / total
@@ -237,6 +247,24 @@ def _jit_forward(P: int, Mp: int, Lp: int):
     return jax.jit(run)
 
 
+def _padded_batch(sequences, pad_to):
+    """Shared host-side padding: xs, masks, loops, moves arrays."""
+    S = len(sequences)
+    Lp = pad_to or _round_up(max(len(x) for x in sequences), 32)
+    xs = numpy.zeros((S, Lp), dtype=numpy.int32)
+    masks = numpy.zeros((S, Lp), dtype=bool)
+    loops = numpy.zeros(S, dtype=numpy.float32)
+    moves = numpy.zeros(S, dtype=numpy.float32)
+    for i, x in enumerate(sequences):
+        L = len(x)
+        xs[i, :L] = x
+        masks[i, :L] = True
+        loop, move = length_model(L)
+        loops[i] = math.exp(loop)
+        moves[i] = math.exp(move)
+    return xs, masks, loops, moves
+
+
 def forward_scores(
     bank: ProfileBank,
     sequences: Sequence["numpy.ndarray"],
@@ -249,87 +277,12 @@ def forward_scores(
     """
     import jax.numpy as jnp
 
-    S = len(sequences)
-    if S == 0:
+    if len(sequences) == 0:
         return numpy.zeros((0, bank.P), dtype=numpy.float32)
-    Lp = pad_to or _round_up(max(len(x) for x in sequences), 32)
-    xs = numpy.zeros((S, Lp), dtype=numpy.int32)
-    masks = numpy.zeros((S, Lp), dtype=bool)
-    loops = numpy.zeros(S, dtype=numpy.float32)
-    moves = numpy.zeros(S, dtype=numpy.float32)
-    for i, x in enumerate(sequences):
-        L = len(x)
-        xs[i, :L] = x
-        masks[i, :L] = True
-        loop, move = length_model(L)
-        loops[i] = math.exp(loop)
-        moves[i] = math.exp(move)
-    fn = _jit_forward(bank.P, bank.Mp, Lp)
+    xs, masks, loops, moves = _padded_batch(sequences, pad_to)
+    fn = _jit_forward(bank.P, bank.Mp, xs.shape[1])
     out = fn(_bank_tuple(bank), jnp.asarray(xs), jnp.asarray(masks), jnp.asarray(loops), jnp.asarray(moves))
     return numpy.asarray(out)
-
-
-@functools.lru_cache(maxsize=None)
-def _jit_viterbi(P: int, Mp: int, Lp: int):
-    import jax
-    import jax.numpy as jnp
-
-    def one_sequence(args, x, mask, loop, move):
-        (e_odds, tmm, tim, tdm, tmi, tii, tmd, tdd, bm, _msv) = args
-
-        def shift(a):
-            return jnp.pad(a[:, :-1], ((0, 0), (1, 0)))
-
-        def dchain(m_new, tmd_s, tdd_s):
-            # D_k = max(tdd[k-1]*D_{k-1}, m_new[k-1]*tmd[k-1]) — the
-            # max-times recurrence is associative too
-            a = shift(tdd_s)
-            b = shift(m_new * tmd_s)
-
-            def combine(left, right):
-                a1, b1 = left
-                a2, b2 = right
-                return a1 * a2, jnp.maximum(b1 * a2, b2)
-
-            _, d = jax.lax.associative_scan(combine, (a, b), axis=1)
-            return d
-
-        def step(carry, inputs):
-            M, I, D, N, B, J, C, logscale = carry
-            xi, valid = inputs
-            e = jax.lax.dynamic_index_in_dim(e_odds, xi, axis=0, keepdims=False)
-            stay = shift(jnp.maximum(jnp.maximum(M * tmm, I * tim), D * tdm))
-            Mn = e * jnp.maximum(stay, B[:, None] * bm)
-            In = jnp.maximum(M * tmi, I * tii)
-            Dn = dchain(Mn, tmd, tdd)
-            E = jnp.max(jnp.maximum(Mn, Dn), axis=1)
-            Jn = jnp.maximum(J * loop, E * 0.5)
-            Cn = jnp.maximum(C * loop, E * 0.5)
-            Nn = N * loop
-            Bn = jnp.maximum(Nn, Jn) * move
-            total = E + Bn + Nn + Cn + 1e-30
-            inv = 1.0 / total
-            new_logscale = logscale + jnp.log(total)
-            carry_new = (Mn * inv[:, None], In * inv[:, None], Dn * inv[:, None],
-                         Nn * inv, Bn * inv, Jn * inv, Cn * inv, new_logscale)
-            merged = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(valid, new, old), carry_new, carry)
-            return merged, None
-
-        M0 = jnp.zeros((P, Mp), jnp.float32)
-        I0 = jnp.zeros((P, Mp), jnp.float32)
-        D0 = jnp.zeros((P, Mp), jnp.float32)
-        carry, _ = jax.lax.scan(
-            step,
-            (M0, I0, D0, jnp.ones(P, jnp.float32),
-             jnp.zeros(P, jnp.float32) + move, jnp.zeros(P, jnp.float32),
-             jnp.zeros(P, jnp.float32), jnp.zeros(P, jnp.float32)),
-            (x, mask),
-        )
-        return jnp.log(carry[6] * move + 1e-38) + carry[7]
-
-    batched = jax.vmap(one_sequence, in_axes=(None, 0, 0, 0, 0))
-    return jax.jit(lambda args, xs, masks, loops, moves: batched(args, xs, masks, loops, moves))
 
 
 def viterbi_scores(
@@ -339,27 +292,16 @@ def viterbi_scores(
 ) -> "numpy.ndarray":
     """Viterbi (max) log-odds scores (nats) of every pair, ``[S, P]``.
 
-    The F2 ``ViterbiFilter`` stage of hmmsearch; per-pair values match
+    The F2 ``ViterbiFilter`` stage of hmmsearch; the same engine as
+    ``forward_scores`` in the max-plus semiring.  Per-pair values match
     ``engine.viterbi_score`` at f32 tolerance.
     """
     import jax.numpy as jnp
 
-    S = len(sequences)
-    if S == 0:
+    if len(sequences) == 0:
         return numpy.zeros((0, bank.P), dtype=numpy.float32)
-    Lp = pad_to or _round_up(max(len(x) for x in sequences), 32)
-    xs = numpy.zeros((S, Lp), dtype=numpy.int32)
-    masks = numpy.zeros((S, Lp), dtype=bool)
-    loops = numpy.zeros(S, dtype=numpy.float32)
-    moves = numpy.zeros(S, dtype=numpy.float32)
-    for i, x in enumerate(sequences):
-        L = len(x)
-        xs[i, :L] = x
-        masks[i, :L] = True
-        loop, move = length_model(L)
-        loops[i] = math.exp(loop)
-        moves[i] = math.exp(move)
-    fn = _jit_viterbi(bank.P, bank.Mp, Lp)
+    xs, masks, loops, moves = _padded_batch(sequences, pad_to)
+    fn = _jit_forward(bank.P, bank.Mp, xs.shape[1], viterbi=True)
     out = fn(_bank_tuple(bank), jnp.asarray(xs), jnp.asarray(masks), jnp.asarray(loops), jnp.asarray(moves))
     return numpy.asarray(out)
 

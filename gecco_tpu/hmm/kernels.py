@@ -574,6 +574,10 @@ class Bucketed:
 
     def __init__(self, kernel_cls, bank: ProfileBank, lane: int = 128,
                  pow2: bool = False, **kwargs):
+        # kernels running the delete-chain doubling scan REQUIRE
+        # power-of-two widths; derive it from the class so callers
+        # cannot silently build a crashing configuration
+        pow2 = pow2 or getattr(kernel_cls, "REQUIRES_POW2", False)
         self.bank = bank
         self.buckets = []
         caps = {}
@@ -2042,6 +2046,8 @@ class ForwardKernel:
     delete chain is an exact in-kernel parallel prefix over the lane
     axis (log2(Mp) doubling steps of ``pltpu.roll``).
     """
+
+    REQUIRES_POW2 = True  # the doubling scan needs power-of-two widths
 
     def __init__(self, bank: ProfileBank, seq_tile: int = 8, profile_chunk: int = 128,
                  viterbi: bool = False):

@@ -214,7 +214,9 @@ class _StrandData:
         for c in cands:
             if not c.partial_begin:
                 c.codon = seq5[c.start: c.start + 3]
-            upstream = seq5[max(0, c.start - 15): c.start - 4]
+            # both bounds clamped: a negative stop would wrap and scan
+            # (nearly) the whole contig for edge candidates
+            upstream = seq5[max(0, c.start - 15): max(0, c.start - 4)]
             for b, motif in enumerate(_RBS_MOTIFS):
                 if motif in upstream:
                     c.rbs = b
@@ -474,7 +476,14 @@ class ScanFinder(ORFFinder):
             else:
                 nucleotides = reverse_complement(seq[candidate.start : candidate.end])
             protein_seq = translate(nucleotides, table=self.translation_table)
-            protein = Protein(id=f"{record.id}_{i+1}", seq=Seq(protein_seq.rstrip("*")))
+            # Prodigal conventions, shared with the resume path
+            # (_common.assign_sources): the trailing stop '*' is kept,
+            # and the initiator codon renders as M for complete genes
+            # (edge partials keep the literal translation)
+            if (not candidate.partial_begin and protein_seq
+                    and nucleotides[:3] in _STARTS):
+                protein_seq = "M" + protein_seq[1:]
+            protein = Protein(id=f"{record.id}_{i+1}", seq=Seq(protein_seq))
             yield Gene(
                 source=record,
                 start=candidate.start + 1,

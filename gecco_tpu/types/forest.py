@@ -152,7 +152,10 @@ def train_forest(
     exact trees differ; accuracy is validated in tests against the
     exported reference forest).
     """
-    x = numpy.asarray(x, dtype=numpy.float64)
+    # fit on float32 features like sklearn's tree code: inference casts
+    # inputs to f32, so thresholds chosen between f64-distinct values
+    # that collapse in f32 would route training samples inconsistently
+    x = numpy.asarray(x, dtype=numpy.float32).astype(numpy.float64)
     y = numpy.asarray(y, dtype=numpy.float64)
     n, d = x.shape
     n_sub = max(1, int(numpy.sqrt(d))) if max_features == "sqrt" else d
