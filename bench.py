@@ -91,10 +91,12 @@ def main() -> None:
     genome = synthetic_genome(GENOME_GENES, seed=4)
     record = SeqRecord(id="bench", seq=Seq(genome))
     finder = ScanFinder()
-    genes = list(finder.find_genes([record]))  # warm (JIT-free, stable)
-    t0 = time.perf_counter()
-    genes = list(finder.find_genes([record]))
-    t_orf = time.perf_counter() - t0
+    genes = list(finder.find_genes([record]))  # warm (builds the C++ core)
+    t_orf = float("inf")
+    for _ in range(2):  # best-of-2: host timing is noisy on shared CPUs
+        t0 = time.perf_counter()
+        genes = list(finder.find_genes([record]))
+        t_orf = min(t_orf, time.perf_counter() - t0)
 
     # ---- build the annotation workload from the CALLED proteins
     profiles = pfam_shaped_profiles(N_PROFILES, seed=0)

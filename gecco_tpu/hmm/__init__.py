@@ -183,5 +183,7 @@ def embedded_hmms(directory: Optional[str] = None) -> Iterator[HMM]:
                     "the HMMER3 ASCII .hmm (hmmconvert writes one)"
                 )
             raise FileNotFoundError(
-                f"{filename}: no {stem + '.hmm'!r} (or .hmm.gz) next to it"
+                f"{filename}: no {stem + '.hmm'!r} (or .hmm.gz) next to it — "
+                "build the embedded library with tools/build_data.py, or "
+                "pass --hmm with your own HMMER3 ASCII file"
             )
