@@ -61,9 +61,11 @@ def shard_sequences(
     return shards
 
 
-def sharded_forward_scores(bank, xs, masks, loops, moves, mesh):
-    """Forward scores with the bank sharded over ``model`` and sequences
-    over ``data``; returns the full ``[S, P]`` score matrix.
+def sharded_forward_scores(bank, xs, masks, loops, moves, mesh,
+                           viterbi: bool = False):
+    """Forward (or Viterbi, the F2 stage) scores with the bank sharded
+    over ``model`` and sequences over ``data``; returns the full
+    ``[S, P]`` score matrix.
 
     The computation is embarrassingly parallel over both axes — XLA
     only needs collectives to reassemble the output, which it inserts
@@ -76,7 +78,7 @@ def sharded_forward_scores(bank, xs, masks, loops, moves, mesh):
     from ..hmm.batch import _jit_forward, _bank_tuple
 
     S, Lp = xs.shape
-    fn = _jit_forward(bank.P, bank.Mp, Lp)
+    fn = _jit_forward(bank.P, bank.Mp, Lp, viterbi=viterbi)
 
     bank_args = _bank_tuple(bank)
     spec_bank = (
