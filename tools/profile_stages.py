@@ -1,9 +1,11 @@
 #!/usr/bin/env python
-"""Per-stage wall-clock breakdown of SearchPipeline.search on the bench workload.
+"""Per-stage wall-clock breakdown of SearchPipeline.search on the bench
+workload (the real-Pfam-shaped bank).
 
-Times (best-of-2 after a warm pass): stage-1 filter masks, stage-2
-pair-dense Forward, stage-3 posterior+envelope device work, stage-3
-alignment kernel, and the leftover host logic.
+The pipeline records its own per-stage seconds / DP cells
+(``stage_seconds``/``stage_cells``; filter -> viterbi -> forward ->
+domains) — this tool runs the bench-shaped search three times after a
+warm pass and prints the best breakdown plus Gcells/s per stage.
 """
 
 import sys
@@ -17,61 +19,44 @@ import jax
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+from gecco_tpu.hmm.calibrate import calibrate
 from gecco_tpu.hmm.pipeline import SearchPipeline
-from gecco_tpu.hmm.synthetic import plant_domain, synthetic_profiles, synthetic_proteins
+from gecco_tpu.hmm.synthetic import (
+    pfam_shaped_profiles, plant_domain, synthetic_proteins)
 
 N_PROFILES = 2766
 N_PROTEINS = 3000
 
-profiles = synthetic_profiles(N_PROFILES, min_length=40, max_length=250, seed=0)
+profiles = pfam_shaped_profiles(N_PROFILES, seed=0)
 seqs = [x[:512] for x in synthetic_proteins(N_PROTEINS, mean_length=280, seed=1)]
 rng = numpy.random.default_rng(7)
 for i in range(len(seqs)):
     if i % 4 != 3:
-        seqs[i] = plant_domain(seqs[i], profiles[(i * 13) % N_PROFILES], rng)
+        gm = profiles[(i * 13) % N_PROFILES]
+        seqs[i] = plant_domain(seqs[i], gm, rng, max_len=min(150, gm.M))
 
-from gecco_tpu.hmm.calibrate import calibrate
 calibrate(profiles)
 pipeline = SearchPipeline(profiles, Z=N_PROFILES, domZ=N_PROFILES)
 
-times = {}
-
-
-def timed(name, fn):
-    def wrap(*a, **k):
-        t0 = time.perf_counter()
-        out = fn(*a, **k)
-        times[name] = times.get(name, 0.0) + (time.perf_counter() - t0)
-        return out
-    return wrap
-
-
 hits = pipeline.search(seqs)  # warm / compile
 print("hits:", len(hits), "domains:", sum(len(h.domains) for h in hits))
-
-fk = pipeline._filter_kernel
-pf = pipeline._pair_forward
-pd = pipeline._pair_domains
-orig = (fk.masks, pf.flat_packed, pd.define)
+print("survivors:", pipeline.stage_counts)
 
 best = None
-for trial in range(3):
-    times.clear()
-    fk.masks = timed("1.filter_masks", orig[0])
-    pf.flat_packed = timed("2.pair_fwd", orig[1])
-    pd.define = timed("3.domains_total", orig[2])
-
+for _ in range(3):
     t0 = time.perf_counter()
     hits = pipeline.search(seqs)
     total = time.perf_counter() - t0
+    if best is None or total < best[0]:
+        best = (total, dict(pipeline.stage_seconds), dict(pipeline.stage_cells))
 
-    fk.masks, pf.flat_packed = orig[0], orig[1]
-    del pd.define
-    snapshot = dict(times, total=total)
-    if best is None or total < best["total"]:
-        best = snapshot
-
-for k in sorted(best):
-    print(f"{k:20s} {best[k]:8.3f} s")
-other = best["total"] - best["1.filter_masks"] - best["2.pair_fwd"] - best["3.domains_total"]
-print(f"{'other_host':20s} {other:8.3f} s")
+total, seconds, cells = best
+accounted = 0.0
+for name in ("filter", "viterbi", "forward", "domains"):
+    s = seconds.get(name, 0.0)
+    accounted += s
+    rate = cells.get(name, 0.0) / 1e9 / max(s, 1e-9)
+    print(f"{name:12s} {s:8.3f} s   {cells.get(name, 0.0) / 1e9:9.3f} Gcells  "
+          f"{rate:8.1f} Gcells/s")
+print(f"{'other_host':12s} {total - accounted:8.3f} s")
+print(f"{'total':12s} {total:8.3f} s")
