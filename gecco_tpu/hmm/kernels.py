@@ -397,7 +397,8 @@ class MSVKernel:
 
 
 @functools.lru_cache(maxsize=None)
-def _pallas_ssv(P: int, Mp: int, Lp: int, S: int, Pc: int, masked: bool, interpret: bool):
+def _pallas_ssv(P: int, Mp: int, Lp: int, S: int, Pc: int, masked: bool,
+                interpret: bool, unroll: int = 4):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -420,7 +421,7 @@ def _pallas_ssv(P: int, Mp: int, Lp: int, S: int, Pc: int, masked: bool, interpr
             #   G   = max(G, A_i);   score = rowmax(G) + L*loop + ...
             cb0 = jnp.broadcast_to(tbm_ref[:] + move, (Pc, Mp))
 
-            def step(i, carry):
+            def substep(i, carry):
                 A, G = carry
                 xi = xs_ref[0, s, i]
                 e = e_ref[xi]  # [Pc, Mp]
@@ -431,8 +432,18 @@ def _pallas_ssv(P: int, Mp: int, Lp: int, S: int, Pc: int, masked: bool, interpr
                 Gn = jnp.maximum(G, An)
                 return (An, Gn)
 
+            def step(b, carry):
+                # unrolled residue block: amortizes per-iteration scalar
+                # overhead across `unroll` DP steps
+                i0 = b * unroll
+                for u in range(unroll):
+                    carry = substep(i0 + u, carry)
+                return carry
+
             M0 = jnp.full((Pc, Mp), NEG, jnp.float32)
-            carry = jax.lax.fori_loop(0, L, step, (M0, M0))
+            carry = jax.lax.fori_loop(0, L // unroll, step, (M0, M0))
+            carry = jax.lax.fori_loop(
+                (L // unroll) * unroll, L, substep, carry)
             G = carry[1]
             out_ref[s, :] = jnp.max(G, axis=1) + (
                 L.astype(jnp.float32) * loop + math.log(0.5) + move
@@ -499,11 +510,13 @@ class SSVKernel:
     the rolled-in value is the last pad lane, already ``-1e30``.
     """
 
-    def __init__(self, bank: ProfileBank, seq_tile: int = 8, profile_chunk: int = 512):
+    def __init__(self, bank: ProfileBank, seq_tile: int = 8, profile_chunk: int = 512,
+                 unroll: int = 4):
         import jax.numpy as jnp
 
         self.bank = bank
         self.seq_tile = seq_tile
+        self.unroll = unroll
         self.Pc = _legal_pc(bank.P, bank.Mp, profile_chunk, 65536)
         self.P_pad = _round_up(bank.P, self.Pc)
         self.masked = bool((bank.lengths >= bank.Mp).any())
@@ -540,7 +553,7 @@ class SSVKernel:
             moves[i] = move
         fn = _pallas_ssv(
             self.P_pad, self.bank.Mp, Lp, self.seq_tile, self.Pc,
-            self.masked, _auto_interpret(interpret),
+            self.masked, _auto_interpret(interpret), self.unroll,
         )
         out = fn(
             jnp.asarray(xs.reshape(St, self.seq_tile, Lp)),
@@ -668,7 +681,7 @@ class Bucketed:
 @functools.lru_cache(maxsize=None)
 def _pallas_fwd(P: int, Mp: int, Lp: int, S: int, Pc: int, masked: bool,
                 interpret: bool, nd: Optional[int] = None,
-                viterbi: bool = False):
+                viterbi: bool = False, unroll: int = 4):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -750,7 +763,15 @@ def _pallas_fwd(P: int, Mp: int, Lp: int, S: int, Pc: int, masked: bool,
             zeros = jnp.zeros((Pc, Mp), jnp.float32)
             z1 = jnp.zeros((Pc, 1), jnp.float32)
             carry = (zeros, zeros, zeros, z1 + 1.0, z1 + move, z1, z1, z1)
-            carry = jax.lax.fori_loop(0, L, step, carry)
+
+            def block(b, carry):
+                # unrolled residue block: amortizes per-step overhead
+                for u in range(unroll):
+                    carry = step(b * unroll + u, carry)
+                return carry
+
+            carry = jax.lax.fori_loop(0, L // unroll, block, carry)
+            carry = jax.lax.fori_loop((L // unroll) * unroll, L, step, carry)
             C_final, logscale = carry[6], carry[7]
             out_ref[s, :] = (jnp.log(C_final * move + 1e-38) + logscale)[:, 0]
             return 0
@@ -784,7 +805,8 @@ def _pallas_fwd(P: int, Mp: int, Lp: int, S: int, Pc: int, masked: bool,
 
 @functools.lru_cache(maxsize=None)
 def _pallas_pair_fwd(Mp: int, Lp: int, C: int, masked: bool, interpret: bool,
-                     nd: Optional[int] = None, viterbi: bool = False):
+                     nd: Optional[int] = None, viterbi: bool = False,
+                     unroll: int = 4):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -861,9 +883,19 @@ def _pallas_pair_fwd(Mp: int, Lp: int, C: int, masked: bool, interpret: bool,
 
         zeros = jnp.zeros((C, Mp), jnp.float32)
         z1 = jnp.zeros((C, 1), jnp.float32)
+        carry = (zeros, zeros, zeros, z1 + 1.0, z1 + move, z1, z1, z1)
+        n_res = end - start
+
+        def block(b, carry):
+            # unrolled residue block: amortizes per-step overhead
+            i0 = start + b * unroll
+            for u in range(unroll):
+                carry = step(i0 + u, carry)
+            return carry
+
+        carry = jax.lax.fori_loop(0, n_res // unroll, block, carry)
         carry = jax.lax.fori_loop(
-            start, end, step, (zeros, zeros, zeros, z1 + 1.0, z1 + move, z1, z1, z1)
-        )
+            start + (n_res // unroll) * unroll, end, step, carry)
         C_final, logscale = carry[6], carry[7]
         out_ref[0, j, :] = (jnp.log(C_final * move + 1e-38) + logscale)[:, 0]
 
