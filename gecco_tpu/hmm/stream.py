@@ -58,6 +58,7 @@ def _auto_interpret(interpret: bool) -> bool:
 @functools.lru_cache(maxsize=None)
 def _stream_fwd(Mp: int, C: int, Lc: int, nLc: int, n_cells: int,
                 interpret: bool, nd: Optional[int] = None):
+    assert Lc % 4 == 0, "unrolled stream kernels need Lc % 4 == 0"
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -157,7 +158,14 @@ def _stream_fwd(Mp: int, C: int, Lc: int, nLc: int, n_cells: int,
             carry = (M_s[...], I_s[...], D_s[...],
                      sc[:, 0][:, None], sc[:, 1][:, None], sc[:, 2][:, None],
                      sc[:, 3][:, None], sc[:, 4][:, None], sc[:, 5][:, None])
-            carry = jax.lax.fori_loop(0, Lc, step, carry)
+            # Lc is a multiple of 4: unrolled blocks amortize per-step
+            # scalar overhead (same transform as kernels._pallas_fwd)
+            def _block(b, carry):
+                for u in range(4):
+                    carry = step(b * 4 + u, carry)
+                return carry
+
+            carry = jax.lax.fori_loop(0, Lc // 4, _block, carry)
             M_s[...] = carry[0]
             I_s[...] = carry[1]
             D_s[...] = carry[2]
@@ -206,6 +214,7 @@ def _stream_fwd(Mp: int, C: int, Lc: int, nLc: int, n_cells: int,
 @functools.lru_cache(maxsize=None)
 def _stream_bwd(Mp: int, C: int, Lc: int, nLc: int, n_cells: int,
                 interpret: bool, nd: Optional[int] = None):
+    assert Lc % 4 == 0, "unrolled stream kernels need Lc % 4 == 0"
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -325,7 +334,14 @@ def _stream_bwd(Mp: int, C: int, Lc: int, nLc: int, n_cells: int,
             carry = (bM_s[...], bI_s[...],
                      sc[:, 0][:, None], sc[:, 1][:, None], sc[:, 2][:, None],
                      sc[:, 3][:, None])
-            carry = jax.lax.fori_loop(0, Lc, step, carry)
+            # Lc is a multiple of 4: unrolled blocks amortize per-step
+            # scalar overhead (same transform as kernels._pallas_fwd)
+            def _block(b, carry):
+                for u in range(4):
+                    carry = step(b * 4 + u, carry)
+                return carry
+
+            carry = jax.lax.fori_loop(0, Lc // 4, _block, carry)
             bM_s[...] = carry[0]
             bI_s[...] = carry[1]
             sc_s[...] = jnp.concatenate(
@@ -377,6 +393,7 @@ def _stream_bwd(Mp: int, C: int, Lc: int, nLc: int, n_cells: int,
 @functools.lru_cache(maxsize=None)
 def _stream_align_bwd(Mp: int, C: int, Lc: int, nLc: int, n_cells: int,
                       interpret: bool, nd: Optional[int] = None):
+    assert Lc % 4 == 0, "unrolled stream kernels need Lc % 4 == 0"
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -488,7 +505,14 @@ def _stream_align_bwd(Mp: int, C: int, Lc: int, nLc: int, n_cells: int,
             carry = (bM_s[...], bI_s[...],
                      sc[:, 0][:, None], sc[:, 1][:, None], sc[:, 2][:, None],
                      sc[:, 3][:, None])
-            carry = jax.lax.fori_loop(0, Lc, step, carry)
+            # Lc is a multiple of 4: unrolled blocks amortize per-step
+            # scalar overhead (same transform as kernels._pallas_fwd)
+            def _block(b, carry):
+                for u in range(4):
+                    carry = step(b * 4 + u, carry)
+                return carry
+
+            carry = jax.lax.fori_loop(0, Lc // 4, _block, carry)
             bM_s[...] = carry[0]
             bI_s[...] = carry[1]
             sc_s[...] = jnp.concatenate(
@@ -542,6 +566,7 @@ def _stream_align_bwd(Mp: int, C: int, Lc: int, nLc: int, n_cells: int,
 @functools.lru_cache(maxsize=None)
 def _stream_align_fwd(Mp: int, C: int, Lc: int, nLc: int, n_cells: int,
                       interpret: bool, nd: Optional[int] = None):
+    assert Lc % 4 == 0, "unrolled stream kernels need Lc % 4 == 0"
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -794,7 +819,14 @@ def _stream_align_fwd(Mp: int, C: int, Lc: int, nLc: int, n_cells: int,
                      scb[:, 5][:, None], sca[:, 5][:, None], sca[:, 6][:, None],
                      sca[:, 7][:, None], scb[:, 6][:, None],
                      mat_s[...], ins_s[...], scb[:, 7][:, None])
-            carry = jax.lax.fori_loop(0, Lc, step, carry)
+            # Lc is a multiple of 4: unrolled blocks amortize per-step
+            # scalar overhead (same transform as kernels._pallas_fwd)
+            def _block(b, carry):
+                for u in range(4):
+                    carry = step(b * 4 + u, carry)
+                return carry
+
+            carry = jax.lax.fori_loop(0, Lc // 4, _block, carry)
             M_s[...] = carry[0]
             I_s[...] = carry[1]
             D_s[...] = carry[2]
