@@ -819,14 +819,10 @@ def _stream_align_fwd(Mp: int, C: int, Lc: int, nLc: int, n_cells: int,
                      scb[:, 5][:, None], sca[:, 5][:, None], sca[:, 6][:, None],
                      sca[:, 7][:, None], scb[:, 6][:, None],
                      mat_s[...], ins_s[...], scb[:, 7][:, None])
-            # Lc is a multiple of 4: unrolled blocks amortize per-step
-            # scalar overhead (same transform as kernels._pallas_fwd)
-            def _block(b, carry):
-                for u in range(4):
-                    carry = step(b * 4 + u, carry)
-                return carry
-
-            carry = jax.lax.fori_loop(0, Lc // 4, _block, carry)
+            # NOT unrolled: this kernel's step body is the largest
+            # (envelope rescore + OA + null2) and the 4x unroll's extra
+            # temporaries push the scoped VMEM stack past 16 MB
+            carry = jax.lax.fori_loop(0, Lc, step, carry)
             M_s[...] = carry[0]
             I_s[...] = carry[1]
             D_s[...] = carry[2]
