@@ -275,3 +275,71 @@ def test_cv_end_to_end(tmp_path):
     assert math.isfinite(auroc) and math.isfinite(aupr)
     assert auroc > 0.8, auroc
     assert aupr > 0.8, aupr
+
+
+def test_train_end_to_end(tmp_path):
+    """`gecco train` on the synthetic corpus writes a complete model
+    directory that `predict --model` can consume (reference contract:
+    `tests/test_cli/test_train.py` asserts the model artifacts are
+    written; here the round trip is also exercised)."""
+    from gecco_tpu.model import ClusterTable, FeatureTable, GeneTable
+    from test_train import _synthetic_genes
+
+    genes = _synthetic_genes(n_contigs=4, length=30, seed=7)
+    with open(tmp_path / "genes.tsv", "wb") as f:
+        GeneTable.from_genes(genes).dump(f)
+    with open(tmp_path / "features.tsv", "wb") as f:
+        FeatureTable.from_genes(genes).dump(f)
+    rows = {"sequence_id": [], "cluster_id": [], "start": [], "end": [],
+            "average_p": [], "max_p": [], "type": [],
+            "proteins": [], "domains": []}
+    by_source = {}
+    for g in genes:
+        by_source.setdefault(g.source.id, []).append(g)
+    for seq_id, group in by_source.items():
+        inside = [g for g in group if g.average_probability == 1.0]
+        rows["sequence_id"].append(seq_id)
+        rows["cluster_id"].append(f"{seq_id}_cluster_1")
+        rows["start"].append(min(g.start for g in inside))
+        rows["end"].append(max(g.end for g in inside))
+        rows["average_p"].append(1.0)
+        rows["max_p"].append(1.0)
+        rows["type"].append("Polyketide" if seq_id < "ctg2" else "Terpene")
+        rows["proteins"].append(";".join(g.protein.id for g in inside))
+        rows["domains"].append("")
+    with open(tmp_path / "clusters.tsv", "wb") as f:
+        ClusterTable(rows).dump(f)
+
+    model_dir = tmp_path / "model"
+    stream = io.StringIO()
+    code = main([
+        "train",
+        "-g", str(tmp_path / "genes.tsv"),
+        "-f", str(tmp_path / "features.tsv"),
+        "-c", str(tmp_path / "clusters.tsv"),
+        "-o", str(model_dir),
+        "-W", "10", "--c1", "0.05", "--c2", "0.0", "--seed", "42",
+    ], stream)
+    assert code == 0, stream.getvalue()
+    for name in ("crf_model.npz", "crf_model.npz.sha256", "model.trans.tsv",
+                 "model.state.tsv", "domains.tsv", "types.tsv",
+                 "compositions.npz", "forest.npz"):
+        assert (model_dir / name).exists(), name
+
+    # the written directory round-trips as a --model input: load and
+    # predict on probability-stripped genes (the synthetic corpus has no
+    # genome file, so the reload is exercised at the API level)
+    from gecco_tpu.crf import ClusterCRF
+
+    crf = ClusterCRF.trained(model_dir)
+    assert crf.fitted
+    predicted = crf.predict_probabilities([
+        g.with_probability(0.0) for g in genes
+    ])
+    truth = {g.protein.id: g.average_probability for g in genes}
+    inside = [g.average_probability for g in predicted if truth[g.protein.id] == 1.0]
+    outside = [g.average_probability for g in predicted if truth[g.protein.id] == 0.0]
+    import numpy
+
+    assert numpy.mean(inside) > 0.7
+    assert numpy.mean(outside) < 0.3
