@@ -174,6 +174,35 @@ def check_multidomain():
     return len(pallas), n_multi
 
 
+def check_viterbi():
+    """Compiled F2 engines: full-bank + pair-dense Viterbi vs float64 host."""
+    from gecco_tpu import seqio
+    from gecco_tpu.hmm import engine
+    from gecco_tpu.hmm.batch import ProfileBank
+    from gecco_tpu.hmm.io import encode_sequence, parse_hmmer3
+    from gecco_tpu.hmm.kernels import Bucketed, PairBucketed, ViterbiKernel
+    from gecco_tpu.hmm.profile import configure_local
+
+    profiles = [configure_local(p) for p in parse_hmmer3(MINIPFAM)]
+    xs = [encode_sequence(str(r.seq)) for r in seqio.parse(PROTEINS)]
+    bank = ProfileBank.build(profiles)
+    host = numpy.array(
+        [[engine.viterbi_score(gm, x) for gm in profiles] for x in xs])
+    full = Bucketed(ViterbiKernel, bank)(xs)
+    _require(
+        float(numpy.abs(host - full).max()) < 5e-3,
+        f"viterbi/full-bank: max diff {numpy.abs(host - full).max()} vs host",
+    )
+    pair = PairBucketed(bank, viterbi=True)(
+        xs, [list(range(len(profiles)))] * len(xs))
+    worst = max(
+        abs(host[s, p] - pair[(s, p)])
+        for s in range(len(xs)) for p in range(len(profiles))
+    )
+    _require(worst < 5e-3, f"viterbi/pair-dense: max diff {worst} vs host")
+    return len(xs) * len(profiles)
+
+
 def run(verbose=True):
     import jax
 
@@ -181,6 +210,10 @@ def run(verbose=True):
     n1 = check_minipfam()
     if verbose:
         print(f"# parity minipfam: ok ({n1} hits, device={device})",
+              file=sys.stderr)
+    nv = check_viterbi()
+    if verbose:
+        print(f"# parity viterbi: ok ({nv} pairs, device={device})",
               file=sys.stderr)
     n2, nm = check_multidomain()
     if verbose:
