@@ -85,6 +85,7 @@ class ProfileBank:
         }
         msv_tbm = numpy.zeros(P, dtype=numpy.float32)
         lengths = numpy.zeros(P, dtype=numpy.int32)
+        uncalibrated: List[str] = []
         stats = {key: numpy.zeros(P, dtype=numpy.float32) for key in
                  ("fwd_tau", "fwd_lambda", "msv_mu", "msv_lambda",
                   "vit_mu", "vit_lambda")}
@@ -108,10 +109,26 @@ class ProfileBank:
             accessions.append(gm.accession or gm.name)
             tau, lam = gm.hmm.stats.get("FORWARD", (0.0, math.log(2.0)))
             stats["fwd_tau"][p], stats["fwd_lambda"][p] = tau, lam
-            mu, mlam = gm.hmm.stats.get("MSV", (0.0, math.log(2.0)))
+            # profiles without STATS MSV/VITERBI calibration must not be
+            # dropped by the F1/F2 Gumbel gates (hmmsearch only applies
+            # filter thresholds to calibrated models): mu = -inf makes
+            # the survival p-value 0, i.e. the gate always passes
+            mu, mlam = gm.hmm.stats.get("MSV", (-1e30, math.log(2.0)))
             stats["msv_mu"][p], stats["msv_lambda"][p] = mu, mlam
-            vmu, vlam = gm.hmm.stats.get("VITERBI", (0.0, math.log(2.0)))
+            vmu, vlam = gm.hmm.stats.get("VITERBI", (-1e30, math.log(2.0)))
             stats["vit_mu"][p], stats["vit_lambda"][p] = vmu, vlam
+            if "MSV" not in gm.hmm.stats or "VITERBI" not in gm.hmm.stats:
+                uncalibrated.append(gm.name)
+        if uncalibrated:
+            import warnings
+
+            warnings.warn(
+                f"{len(uncalibrated)} profile(s) lack STATS MSV/VITERBI "
+                f"calibration (e.g. {uncalibrated[0]!r}); the F1/F2 filter "
+                "gates will pass them through unfiltered — calibrate with "
+                "gecco_tpu.hmm.calibrate for filter-speed parity",
+                stacklevel=2,
+            )
         return cls(
             e_odds=e_odds, msv_tbm=msv_tbm, lengths=lengths,
             names=names, accessions=accessions,

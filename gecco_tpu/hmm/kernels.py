@@ -21,6 +21,7 @@ Design (see ``pallas_guide.md``):
 
 import functools
 import math
+import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy
@@ -2012,6 +2013,9 @@ class PairBucketed:
         ``seq_rows[s]`` is the pack row of ``survivors[s]``; only index
         bytes move host→device.
         """
+        from ..profiling import TIMER
+
+        t_pack = time.perf_counter()
         bucket_of = self.local[:, 0]
         row_of = self.local[:, 1]
         out_s: List["numpy.ndarray"] = []
@@ -2058,12 +2062,16 @@ class PairBucketed:
                     pack, krows, pair_idx, interpret=interpret, fetch=False
                 )
                 pending.append((grows, scores))
+        TIMER.records.append(
+            ("pair.pack+dispatch", time.perf_counter() - t_pack))
+        t_fetch = time.perf_counter()
         for grows, scores in pending:
             scores = numpy.asarray(scores)
             for r, (s, mine) in enumerate(grows):
                 out_s.append(numpy.full(len(mine), s, dtype=numpy.int64))
                 out_p.append(mine)
                 out_v.append(scores[r, : len(mine)])
+        TIMER.records.append(("pair.fetch", time.perf_counter() - t_fetch))
         if not out_s:
             z = numpy.zeros(0)
             return z.astype(numpy.int64), z.astype(numpy.int64), z.astype(numpy.float32)

@@ -1151,6 +1151,10 @@ class StreamDomains:
         # phase 1: dispatch every bucket's posterior stage before any
         # sync — the host assembly of one bucket then overlaps the
         # device work of the next
+        from ..profiling import TIMER
+        import time as _time
+
+        t_ph = _time.perf_counter()
         posted: Dict[int, tuple] = {}
         for b, members in sorted(by_bucket.items()):
             _idx, bk = self.buckets[b]
@@ -1188,6 +1192,9 @@ class StreamDomains:
             )
             posted[b] = (handles, R, nLc)
 
+        TIMER.records.append(
+            ("dom.post-dispatch", _time.perf_counter() - t_ph))
+        t_ph = _time.perf_counter()
         # phase 2: per bucket, fetch envelopes and dispatch alignment
         aligned: Dict[int, tuple] = {}
         for b, members in sorted(by_bucket.items()):
@@ -1253,6 +1260,9 @@ class StreamDomains:
             )
             aligned[b] = (outs, Ra, order, env_rows, env_pair)
 
+        TIMER.records.append(
+            ("dom.env+align-dispatch", _time.perf_counter() - t_ph))
+        t_ph = _time.perf_counter()
         # phase 3: fetch alignment results and assemble domain hits
         for b, (outs, Ra, order, env_rows, env_pair) in sorted(aligned.items()):
             envsc = numpy.asarray(outs[0]).reshape(Ra)
@@ -1294,6 +1304,8 @@ class StreamDomains:
                     bitscore=float(bits),
                     pvalue=float(exp_surv(bits, tau, lam)),
                 ))
+        TIMER.records.append(
+            ("dom.align-fetch", _time.perf_counter() - t_ph))
         # domains come out in envelope-slot order per pair; restore
         # coordinate order (the host engine emits them left-to-right)
         for key in out:

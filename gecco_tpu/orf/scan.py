@@ -25,8 +25,9 @@ fitted on all contigs joined with ``TTAATTAATTAA`` linkers
 (``orf.py:77-85``) and then applied to each contig.  ``cpus`` drives a
 thread pool over contigs exactly like the reference's
 ``ThreadPool(cpus).imap`` (``orf.py:95,128-130``); the hot loops run in
-the native core (``native/orfscan.cpp``) which releases no GIL but
-keeps per-contig work independent.
+the native core (``native/orfscan.cpp``), whose ctypes calls release
+the GIL for the duration of the native execution — which is why
+``cpus > 1`` gives real per-contig parallelism.
 
 Output coordinates are 1-based inclusive like the reference, proteins
 are numbered ``{contig}_{i}`` left-to-right, and the gene qualifiers

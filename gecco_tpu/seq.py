@@ -130,7 +130,7 @@ class FeatureLocation:
     """A 0-based, end-exclusive location on a sequence.
 
     ``parts`` carries the segments of a compound (``join(...)``)
-    location in ascending genomic order; ``start``/``end`` always span
+    location in listed (file) order; ``start``/``end`` always span
     the envelope, so coordinate consumers need no special casing, while
     :meth:`extract` splices the parts (reverse order + reverse
     complement on the minus strand) like Biopython's

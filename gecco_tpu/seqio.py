@@ -142,8 +142,8 @@ def _parse_location(text: str) -> Optional[FeatureLocation]:
     """Parse a GenBank location string into a FeatureLocation.
 
     ``join(...)``/``order(...)`` become compound locations whose
-    ``start``/``end`` span the envelope and whose ``parts`` (ascending
-    genomic order) splice correctly in ``extract`` — matching Biopython,
+    ``start``/``end`` span the envelope and whose ``parts`` (in listed
+    file order) splice correctly in ``extract`` — matching Biopython,
     which the reference uses for multi-exon CDS translation
     (``gecco/orf.py:149-201``).  ``complement`` flips the strand of the
     location and all its parts.
@@ -157,13 +157,19 @@ def _parse_location(text: str) -> Optional[FeatureLocation]:
         parts = [_parse_location(s) for s in segments]
         if any(p is None for p in parts):
             return None
-        parts = sorted(parts, key=lambda p: (p.start, p.end))  # type: ignore[union-attr]
         if len(parts) == 1:
             return parts[0]
+        # parts stay in LISTED order: Biopython splices join() segments
+        # as written, and origin-spanning joins on circular records
+        # (e.g. join(800..900,1..100)) would re-translate wrongly if
+        # re-sorted by start.  Only the start/end ENVELOPE is computed
+        # from the extrema.
         strands = {p.strand for p in parts}  # type: ignore[union-attr]
         strand = strands.pop() if len(strands) == 1 else 1
         return FeatureLocation(
-            parts[0].start, max(p.end for p in parts), strand, parts,  # type: ignore[union-attr]
+            min(p.start for p in parts),  # type: ignore[union-attr]
+            max(p.end for p in parts),  # type: ignore[union-attr]
+            strand, parts,
         )
     match = _LOCATION_RE.search(text)
     if match is None:

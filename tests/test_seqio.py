@@ -112,6 +112,26 @@ def test_parse_compound_locations():
     assert [(p.start, p.end) for p in shifted.parts] == [(10, 16), (22, 28)]
 
 
+def test_parse_origin_spanning_join():
+    """Origin-wrapping joins on circular records splice in LISTED
+    order, not ascending-start order (Biopython keeps file order; a
+    sort would swap the segments and mistranslate)."""
+    from gecco_tpu.seq import reverse_complement
+    from gecco_tpu.seqio import _parse_location
+
+    #      posn  123456789012345678
+    seq =       "GGGTAGXXXXXXATGAAA"
+    # gene starts at 13..18 (ATGAAA), wraps origin, ends at 1..6 (GGGTAG)
+    loc = _parse_location("join(13..18,1..6)")
+    assert (loc.start, loc.end, loc.strand) == (0, 18, 1)
+    assert [(p.start, p.end) for p in loc.parts] == [(12, 18), (0, 6)]
+    assert str(loc.extract(seq)) == "ATGAAAGGGTAG"
+
+    rc = _parse_location("complement(join(1..6,13..18))")
+    # splice order for minus strand still reverses the listed parts
+    assert str(rc.extract(seq)) == reverse_complement("GGGTAGATGAAA")
+
+
 def test_cds_finder_compound_translation():
     """CDSFinder re-translates a join() CDS from spliced parts when no
     `translation` qualifier is present."""
