@@ -121,6 +121,15 @@ class SearchPipeline:
         self._pair_forward = None
         self._pair_viterbi = None
         self._pair_domains = None
+        self._stream_bank = None
+
+    def _shared_stream_bank(self):
+        """The bucketed device bank shared by every stream stage."""
+        if self._stream_bank is None:
+            from .stream import StreamBank
+
+            self._stream_bank = StreamBank(self._bank)
+        return self._stream_bank
 
     def _resolve_backend(self) -> str:
         """Pick the device engine: Pallas kernels on TPU, XLA elsewhere."""
@@ -298,9 +307,12 @@ class SearchPipeline:
             keys = sorted(surviving)
             if backend == "pallas":
                 if self._pair_viterbi is None:
-                    from .kernels import PairBucketed
+                    from .stream import StreamScores
 
-                    self._pair_viterbi = PairBucketed(self._bank, viterbi=True)
+                    self._pair_viterbi = StreamScores(
+                        self._bank, viterbi=True,
+                        shared=self._shared_stream_bank(),
+                    )
                 s_loc, p_arr, v_arr = self._pair_viterbi.flat_packed(
                     pack, numpy.asarray(keys, dtype=numpy.int32),
                     [surviving[i] for i in keys],
@@ -373,9 +385,11 @@ class SearchPipeline:
                     pair_scores[(i, p)] = float(fwd[s, p])
         elif backend == "pallas":
             if self._pair_forward is None:
-                from .kernels import PairBucketed
+                from .stream import StreamScores
 
-                self._pair_forward = PairBucketed(self._bank)
+                self._pair_forward = StreamScores(
+                    self._bank, shared=self._shared_stream_bank(),
+                )
             s_loc, p_arr, v_arr = self._pair_forward.flat_packed(
                 pack, numpy.asarray(keys, dtype=numpy.int32),
                 [surviving[i] for i in keys],
@@ -463,7 +477,10 @@ class SearchPipeline:
             from .stream import StreamDomains
 
             if self._pair_domains is None:
-                self._pair_domains = StreamDomains(self._bank, self.profiles)
+                self._pair_domains = StreamDomains(
+                    self._bank, self.profiles,
+                    shared=self._shared_stream_bank(),
+                )
             domains_of = self._pair_domains.define(
                 sequences, [(i, p) for i, p, _, _ in candidates],
                 pad_to=global_cap, pack=pack,

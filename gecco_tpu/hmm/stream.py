@@ -31,13 +31,14 @@ reference: the float64 host engine (``gecco_tpu.hmm.engine``).
 
 import functools
 import math
+import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy
 
 from .batch import ProfileBank, _round_up
 
-__all__ = ["StreamDomains"]
+__all__ = ["StreamBank", "StreamScores", "StreamDomains"]
 
 NEG = -1e30
 LOG2 = math.log(2.0)
@@ -1011,19 +1012,24 @@ class _Bucket:
         ))
 
 
-class StreamDomains:
-    """Streamed pair-packed device domain definition (drop-in for
-    :class:`gecco_tpu.hmm.domains.PairDomains`)."""
+class StreamBank:
+    """The full bank split into power-of-two-width device buckets.
 
-    def __init__(self, bank: ProfileBank, profiles, lane: int = 128):
+    One instance is SHARED by every stream stage of a pipeline
+    (:class:`StreamScores` for the F2/Forward rescores and
+    :class:`StreamDomains` for domain definition) so the bucketed
+    emission/transition tensors are uploaded once, not per stage.
+    """
+
+    def __init__(self, bank: ProfileBank, lane: int = 128):
         self.bank = bank
-        self.profiles = list(profiles)
         caps: Dict[int, List[int]] = {}
         for i, m in enumerate(bank.lengths):
-            # power-of-two widths: the posterior/align kernels run the
+            # power-of-two widths: every stream kernel runs the
             # delete-chain doubling scan over the full node axis
             cap = _round_up(max(8, int(m) + 1), lane)
             caps.setdefault(1 << (cap - 1).bit_length(), []).append(i)
+        #: global profile index -> (bucket number, local row)
         self.local = numpy.zeros((bank.P, 2), dtype=numpy.int32)
         self.buckets: List[Tuple["numpy.ndarray", _Bucket]] = []
         for b, cap in enumerate(sorted(caps)):
@@ -1031,6 +1037,346 @@ class StreamDomains:
             self.local[idx, 0] = b
             self.local[idx, 1] = numpy.arange(len(idx), dtype=numpy.int32)
             self.buckets.append((idx, _Bucket(bank.select(idx, lane=lane, width=cap))))
+
+
+# ---------------------------------------------------------------------------
+# score-only stream kernel (F2 Viterbi gate / Forward rescore)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _stream_score(Mp: int, C: int, Lc: int, nLc: int, n_cells: int,
+                  viterbi: bool, interpret: bool, nd: Optional[int] = None):
+    """Full-sequence Forward or Viterbi scores of C packed pairs/cell.
+
+    The score-only sibling of :func:`_stream_fwd`: same pre-gathered
+    emission streams, same chunked grid with per-cell chunk skipping
+    and frozen finished rows, but no trajectory outputs — just the
+    final ``log P`` (sum-product) or best-path log score (max-plus)
+    per pair.  This replaces the per-sequence pair kernels for the
+    hmmsearch F2 ``ViterbiFilter`` gate and the Forward rescore: pair
+    rows pack at 100% occupancy regardless of how many profiles each
+    sequence's survivor set holds, and the big ``[C, Mp]`` blocks keep
+    the VPU pipeline full where per-sequence cells ran ~30% occupied.
+    """
+    assert Lc % 4 == 0, "unrolled stream kernels need Lc % 4 == 0"
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_doubling = nd if nd is not None else int(math.log2(Mp))
+    add = jnp.maximum if viterbi else (lambda a, b: a + b)
+
+    def kernel(es_ref, lens_ref, loops_ref, moves_ref,
+               tmm_ref, tim_ref, tdm_ref, tmi_ref, tii_ref,
+               tmd_ref, tdd_ref, bm_ref,
+               score_ref, M_s, I_s, D_s, sc_s):
+        t = pl.program_id(1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (C, Mp), dimension=1)
+
+        def shiftR(a):
+            return pltpu.roll(a, shift=1, axis=1)
+
+        tmm = tmm_ref[0]
+        tim = tim_ref[0]
+        tdm = tdm_ref[0]
+        tmi = tmi_ref[0]
+        tii = tii_ref[0]
+        tmd = tmd_ref[0]
+        tdd = tdd_ref[0]
+        bm = bm_ref[0]
+        lens = lens_ref[0, 0][:, None]        # [C, 1] f32
+        loop = loops_ref[0, 0][:, None]
+        move = moves_ref[0, 0][:, None]
+        tdd_shifted = shiftR(tdd)
+
+        def dchain(m_new):
+            a = tdd_shifted
+            b = shiftR(m_new * tmd)
+            shift = 1
+            for _ in range(n_doubling):
+                rolled_a = pltpu.roll(a, shift=shift, axis=1)
+                rolled_b = pltpu.roll(b, shift=shift, axis=1)
+                mask = lane >= shift
+                b = add(jnp.where(mask, rolled_b, 0.0) * a, b)
+                a = jnp.where(mask, rolled_a, 1.0) * a
+                shift *= 2
+            return b
+
+        @pl.when(t == 0)
+        def _init():
+            zero = jnp.zeros((C, Mp), jnp.float32)
+            M_s[...] = zero
+            I_s[...] = zero
+            D_s[...] = zero
+            col = jax.lax.broadcasted_iota(jnp.int32, (C, 8), 1)
+            sc = jnp.where(col == 0, 1.0, 0.0)                    # N
+            sc = jnp.where(col == 1, jnp.broadcast_to(move, (C, 8)), sc)  # B
+            sc_s[...] = sc                             # J=C=ls=score=0
+
+        def step(k, carry):
+            M, I, D, N, B, J, Cc, ls, score = carry
+            i_f = jnp.float32(0) + (t * Lc + k)
+            alive = i_f < lens                          # [C, 1]
+            e = es_ref[0, k]                            # [C, Mp]
+            stay = shiftR(add(add(M * tmm, I * tim), D * tdm))
+            Mn = e * add(stay, B * bm)
+            In = add(M * tmi, I * tii)
+            Dn = dchain(Mn)
+            if viterbi:
+                E = jnp.max(jnp.maximum(Mn, Dn), axis=1, keepdims=True)
+            else:
+                E = jnp.sum(Mn + Dn, axis=1, keepdims=True)
+            Jn = add(J * loop, E * 0.5)
+            Cn = add(Cc * loop, E * 0.5)
+            Nn = N * loop
+            Bn = add(Nn, Jn) * move
+            total = E + Bn + Nn + Cn + 1e-30
+            inv = 1.0 / total
+            ls_n = ls + jnp.log(total)
+            done = i_f == lens - 1.0
+            score_n = jnp.where(
+                done, jnp.log(Cn * inv * move + 1e-38) + ls_n, score
+            )
+            return (jnp.where(alive, Mn * inv, M),
+                    jnp.where(alive, In * inv, I),
+                    jnp.where(alive, Dn * inv, D),
+                    jnp.where(alive, Nn * inv, N),
+                    jnp.where(alive, Bn * inv, B),
+                    jnp.where(alive, Jn * inv, J),
+                    jnp.where(alive, Cn * inv, Cc),
+                    jnp.where(alive, ls_n, ls),
+                    score_n)
+
+        # skip chunks past the cell's longest row (cells are built
+        # length-sorted, so the skipped tail is usually large)
+        @pl.when(jnp.float32(0) + t * Lc < jnp.max(lens))
+        def _body():
+            sc = sc_s[...]
+            carry = (M_s[...], I_s[...], D_s[...],
+                     sc[:, 0][:, None], sc[:, 1][:, None], sc[:, 2][:, None],
+                     sc[:, 3][:, None], sc[:, 4][:, None], sc[:, 5][:, None])
+
+            def _block(b, carry):
+                for u in range(4):
+                    carry = step(b * 4 + u, carry)
+                return carry
+
+            carry = jax.lax.fori_loop(0, Lc // 4, _block, carry)
+            M_s[...] = carry[0]
+            I_s[...] = carry[1]
+            D_s[...] = carry[2]
+            sc = jnp.concatenate(
+                [carry[3], carry[4], carry[5], carry[6], carry[7], carry[8],
+                 jnp.zeros((C, 2), jnp.float32)], axis=1)
+            sc_s[...] = sc
+            score_ref[0, 0] = carry[8][:, 0]
+
+    def run(es, lens, loops, moves, *trans):
+        lens, loops, moves = (a[:, None, :] for a in (lens, loops, moves))
+        cvec = pl.BlockSpec((1, 1, C), lambda c, t: (c, 0, 0), memory_space=pltpu.VMEM)
+        cmat = pl.BlockSpec((1, C, Mp), lambda c, t: (c, 0, 0), memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_cells, nLc),
+            in_specs=[
+                pl.BlockSpec((1, Lc, C, Mp), lambda c, t: (c, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                cvec, cvec, cvec,
+                cmat, cmat, cmat, cmat, cmat, cmat, cmat, cmat,
+            ],
+            out_specs=pl.BlockSpec((1, 1, C), lambda c, t: (c, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_cells, 1, C), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((C, Mp), jnp.float32),
+                pltpu.VMEM((C, Mp), jnp.float32),
+                pltpu.VMEM((C, Mp), jnp.float32),
+                pltpu.VMEM((C, 8), jnp.float32),
+            ],
+            interpret=interpret,
+        )(es, lens, loops, moves, *trans)
+        return out[:, 0]
+
+    return jax.jit(run)
+
+
+class StreamScores:
+    """Pair-packed Forward/Viterbi rescoring of filter survivors.
+
+    Drop-in for :class:`gecco_tpu.hmm.kernels.PairBucketed` on the
+    Pallas backend (same ``flat_packed`` contract) built on the
+    pre-gathered emission streams of this module: every (sequence,
+    profile) pair is one kernel row, packed C-per-cell at full
+    occupancy — a sequence with 3 survivors and one with 300 cost
+    exactly their own DP cells, where the per-sequence pair kernels
+    padded every dispatch group to its widest survivor set.
+
+    Hot-loop reference: hmmsearch's ``ViterbiFilter``/``ForwardParser``
+    stages (``/root/reference/gecco/hmmer/__init__.py:131-140``).
+    """
+
+    #: per-dispatch cap on the materialized emission stream (bytes);
+    #: streams are ~4 B per padded DP cell
+    BYTES_BUDGET = 1 << 30
+
+    def __init__(self, bank: ProfileBank, viterbi: bool = False,
+                 lane: int = 128, shared: Optional[StreamBank] = None):
+        self.bank = bank
+        self.viterbi = viterbi
+        shared = shared if shared is not None else StreamBank(bank, lane=lane)
+        self.local = shared.local
+        self.buckets = shared.buckets
+        self._fallback = None  # PairBucketed for > _MAX_LPS sequences
+
+    @staticmethod
+    @functools.lru_cache(maxsize=None)
+    def _jit_score(Mp, C, Lc, nLc, cells, viterbi, interp, nd):
+        import jax
+        import jax.numpy as jnp
+
+        Lps = nLc * Lc
+        R = cells * C
+        fwd = _stream_score(Mp, C, Lc, nLc, cells, viterbi, interp, nd)
+
+        def run(xs_all, loops_all, moves_all, e_odds, t8, rows, prof, lens):
+            xs = xs_all[rows][:, :Lps]
+            eg = e_odds[:, prof, :]
+            es = eg[xs, jnp.arange(R, dtype=jnp.int32)[:, None]]
+            es = es.reshape(cells, C, Lps, Mp).transpose(0, 2, 1, 3)
+            trans = tuple(t[prof].reshape(cells, C, Mp) for t in t8)
+            loops = loops_all[rows].reshape(cells, C)
+            moves = moves_all[rows].reshape(cells, C)
+            return fwd(es, lens, loops, moves, *trans)
+
+        return jax.jit(run)
+
+    def flat_packed(self, pack, seq_rows, survivors, interpret=False):
+        """Scores for surviving pairs as flat arrays.
+
+        Same contract as ``PairBucketed.flat_packed``: ``survivors[s]``
+        lists global profile indices for local sequence ``s``,
+        ``seq_rows[s]`` is its pack row; returns ``(seq_indices,
+        profile_indices, scores)``.
+        """
+        from ..profiling import TIMER
+
+        t_pack = time.perf_counter()
+        interp = _auto_interpret(interpret)
+        lens_of = numpy.asarray(pack.lens)
+        out_s: List["numpy.ndarray"] = []
+        out_p: List["numpy.ndarray"] = []
+        out_v: List["numpy.ndarray"] = []
+        pending: List[tuple] = []
+        long_pairs: Dict[int, List[int]] = {}
+        bucket_of = self.local[:, 0]
+        row_of = self.local[:, 1]
+        import jax.numpy as jnp
+
+        for b, (_global_idx, bk) in enumerate(self.buckets):
+            # members of this width bucket, length-sorted for tight cells
+            members: List[Tuple[int, int]] = []   # (local seq s, global p)
+            for s, profs in enumerate(survivors):
+                profs = numpy.asarray(profs, dtype=numpy.int64)
+                mine = profs[bucket_of[profs] == b]
+                if not len(mine):
+                    continue
+                L = int(lens_of[seq_rows[s]])
+                if _pow2(L, _LC * 4) > min(_MAX_LPS, pack.Lp):
+                    long_pairs.setdefault(s, []).extend(mine.tolist())
+                    continue
+                members.extend((s, int(p)) for p in mine)
+            if not members:
+                continue
+            members.sort(key=lambda sp: lens_of[seq_rows[sp[0]]])
+            C = min(256, max(8, 32768 // bk.Mp))
+            # walk length-sorted cells, grouping runs of equal padded
+            # stream length into one dispatch each (budget-bounded)
+            cells: List[List[Tuple[int, int]]] = [
+                members[i0 : i0 + C] for i0 in range(0, len(members), C)
+            ]
+            groups: List[Tuple[int, List[List[Tuple[int, int]]]]] = []
+            for cell in cells:
+                Lmax = max(int(lens_of[seq_rows[s]]) for s, _ in cell)
+                Lps = min(_pow2(Lmax, _LC * 4), pack.Lp)
+                cap = max(1, self.BYTES_BUDGET // (Lps * C * bk.Mp * 4))
+                if (groups and groups[-1][0] == Lps
+                        and len(groups[-1][1]) < cap):
+                    groups[-1][1].append(cell)
+                else:
+                    groups.append((Lps, [cell]))
+            for Lps, gcells in groups:
+                n_cells = _pow2(len(gcells))
+                R = n_cells * C
+                rows = numpy.zeros(R, dtype=numpy.int32)
+                prof = numpy.zeros(R, dtype=numpy.int32)
+                lens_np = numpy.zeros(R, dtype=numpy.float32)
+                flat: List[Tuple[int, int]] = []
+                for c, cell in enumerate(gcells):
+                    for r, (s, p) in enumerate(cell):
+                        slot = c * C + r
+                        rows[slot] = seq_rows[s]
+                        prof[slot] = row_of[p]
+                        lens_np[slot] = lens_of[seq_rows[s]]
+                        flat.append((s, p))
+                handle = self._jit_score(
+                    bk.Mp, C, _LC, Lps // _LC, n_cells,
+                    self.viterbi, interp, bk.nd,
+                )(
+                    pack.xs, pack.loops_exp, pack.moves_exp,
+                    bk.e_odds, bk.trans9[1:],
+                    jnp.asarray(rows), jnp.asarray(prof),
+                    jnp.asarray(lens_np.reshape(n_cells, C)),
+                )
+                pending.append((flat, n_cells, C, handle))
+
+        TIMER.records.append(
+            ("stream.pack+dispatch", time.perf_counter() - t_pack))
+        t_fetch = time.perf_counter()
+        for flat, n_cells, C, handle in pending:
+            scores = numpy.asarray(handle).reshape(n_cells * C)
+            arr = numpy.asarray(flat, dtype=numpy.int64)
+            out_s.append(arr[:, 0])
+            out_p.append(arr[:, 1])
+            out_v.append(scores[: len(flat)].astype(numpy.float32))
+        TIMER.records.append(("stream.fetch", time.perf_counter() - t_fetch))
+
+        if long_pairs:
+            # over-long sequences take the per-sequence pair kernels
+            # (any length; rare — giant proteins only)
+            from .kernels import PairBucketed
+
+            if self._fallback is None:
+                self._fallback = PairBucketed(self.bank, viterbi=self.viterbi)
+            keys = sorted(long_pairs)
+            s_loc, p_arr, v_arr = self._fallback.flat_packed(
+                pack, numpy.asarray([seq_rows[s] for s in keys],
+                                    dtype=numpy.int32),
+                [long_pairs[s] for s in keys], interpret=interpret,
+            )
+            out_s.append(numpy.asarray([keys[i] for i in s_loc], dtype=numpy.int64))
+            out_p.append(p_arr)
+            out_v.append(v_arr)
+
+        if not out_s:
+            z = numpy.zeros(0)
+            return (z.astype(numpy.int64), z.astype(numpy.int64),
+                    z.astype(numpy.float32))
+        return (numpy.concatenate(out_s), numpy.concatenate(out_p),
+                numpy.concatenate(out_v).astype(numpy.float32))
+
+
+class StreamDomains:
+    """Streamed pair-packed device domain definition (drop-in for
+    :class:`gecco_tpu.hmm.domains.PairDomains`)."""
+
+    def __init__(self, bank: ProfileBank, profiles, lane: int = 128,
+                 shared: Optional[StreamBank] = None):
+        self.bank = bank
+        self.profiles = list(profiles)
+        shared = shared if shared is not None else StreamBank(bank, lane=lane)
+        self.local = shared.local
+        self.buckets = shared.buckets
 
     # -- stream builders ---------------------------------------------------
     #

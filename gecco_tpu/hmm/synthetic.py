@@ -6,7 +6,7 @@ environment; benchmarks therefore run on synthetic banks with a
 Pfam-like length distribution, which exercise exactly the same kernels.
 """
 
-from typing import List, Tuple
+from typing import Dict, List, Tuple
 
 import numpy
 
@@ -167,14 +167,25 @@ def synthetic_genome(
     (ORF length histogram, ~85% coding density).
     """
     rng = numpy.random.default_rng(seed)
-    # a biased codon distribution (GC-skewed, like the test genomes)
+    # codon usage chosen so the TRANSLATED proteins match the Easel
+    # amino background (p7_AminoFrequencies): the average real proteome
+    # sits close to that composition, and HMMER's F1=2% MSV filter
+    # contract is calibrated against it — a skewed codon model (e.g.
+    # GC-rich) inflates the filter pass rate ~3x and mis-shapes every
+    # downstream stage's benchmark load
+    from ..seq import translate
+    from .io import AMINO_ALPHABET, BACKGROUND_F
+
+    aa_freq = dict(zip(AMINO_ALPHABET, BACKGROUND_F / BACKGROUND_F.sum()))
     codons = [a + b + c for a in _CODON_BASES for b in _CODON_BASES for c in _CODON_BASES]
+    amino_of = {codon: translate(codon) for codon in codons}
+    codons_per_aa: Dict[str, int] = {}
+    for aa in amino_of.values():
+        codons_per_aa[aa] = codons_per_aa.get(aa, 0) + 1
     weights = numpy.array([
-        0.25 if codon in ("TAA", "TAG", "TGA") else
-        2.0 + 1.5 * ((codon[2] in "GC") + (codon[0] in "GC"))
+        aa_freq.get(amino_of[codon], 0.0) / codons_per_aa[amino_of[codon]]
         for codon in codons
     ])
-    weights[[codons.index(s) for s in ("TAA", "TAG", "TGA")]] = 0.0
     weights /= weights.sum()
     parts: List[str] = []
     for _ in range(n_genes):

@@ -557,6 +557,35 @@ def test_viterbi_engines_agree(profiles, sequences):
             assert abs(host[s, p] - pair[(s, p)]) < 5e-3
 
 
+def test_stream_scores_match_host(profiles, sequences):
+    """The pair-packed stream scorer (F2/Forward rescore path) matches
+    the float64 host engine on ragged survivor sets — including rows
+    that pack pairs of DIFFERENT sequences into one cell."""
+    from gecco_tpu.hmm.batch import ProfileBank
+    from gecco_tpu.hmm.kernels import SeqPack
+    from gecco_tpu.hmm.stream import StreamScores
+
+    xs = [x for _, x in sequences]
+    bank = ProfileBank.build(profiles)
+    pack = SeqPack(xs, 2048)
+    rows = numpy.arange(len(xs), dtype=numpy.int32)
+    # ragged survivors: sequence s gets a different-sized profile set
+    survivors = [
+        list(range(s % len(profiles), len(profiles), 1 + s % 3))
+        for s in range(len(xs))
+    ]
+    for viterbi in (False, True):
+        scorer = StreamScores(bank, viterbi=viterbi)
+        s_arr, p_arr, v_arr = scorer.flat_packed(
+            pack, rows, survivors, interpret=True)
+        assert len(s_arr) == sum(len(v) for v in survivors)
+        score = engine.viterbi_score if viterbi else (
+            lambda gm, x: engine.forward(gm, x).score)
+        for s, p, v in zip(s_arr, p_arr, v_arr):
+            want = score(profiles[p], xs[s])
+            assert abs(float(v) - want) < 5e-3, (s, p, v, want, viterbi)
+
+
 def test_pipeline_f2_stage_gates_and_counts(profiles, sequences):
     """The pipeline runs SSV -> Viterbi(F2) -> Forward with monotone
     survivor counts, and an impossibly strict F2 kills every pair."""
