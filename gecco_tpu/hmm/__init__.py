@@ -156,11 +156,11 @@ def embedded_hmms(directory: Optional[str] = None) -> Iterator[HMM]:
     """Discover embedded HMM libraries described by ``*.ini`` sidecars.
 
     Each ``NAME.ini`` must sit next to a ``NAME.hmm`` (HMMER3 ASCII,
-    possibly gzipped as ``NAME.hmm.gz``).  The reference additionally
-    builds pressed binary ``.h3m`` (``/root/reference/setup.py:344-372``);
-    this package stores its libraries as (gzipped) ASCII only —
-    ``tools/build_data.py`` writes ``.hmm.gz`` — and the parser rejects
-    binary ``.h3m`` input with a clear error (``io.parse_hmmer3``).
+    possibly gzipped as ``NAME.hmm.gz``) or a pressed binary
+    ``NAME.h3m`` — the layout the reference ships
+    (``/root/reference/setup.py:344-372``), so a reference-built data
+    directory drops in directly; ``io.parse_hmmer3`` handles both
+    formats.
     """
     directory = directory or _DATA_DIR
     for filename in sorted(os.listdir(directory)):
@@ -171,19 +171,14 @@ def embedded_hmms(directory: Optional[str] = None) -> Iterator[HMM]:
         args: Dict[str, Any] = dict(cfg.items("hmm"))
         size = int(args.pop("size", 0))
         stem = os.path.join(directory, filename[:-4])
-        for suffix in (".hmm", ".hmm.gz"):
+        for suffix in (".hmm", ".hmm.gz", ".h3m"):
             if os.path.exists(stem + suffix):
                 yield HMM(path=stem + suffix, size=size, **args)
                 break
         else:
-            if os.path.exists(stem + ".h3m"):
-                raise ValueError(
-                    f"{filename}: only a pressed binary {stem + '.h3m'!r} is "
-                    "present; binary HMM files are not supported — provide "
-                    "the HMMER3 ASCII .hmm (hmmconvert writes one)"
-                )
             raise FileNotFoundError(
-                f"{filename}: no {stem + '.hmm'!r} (or .hmm.gz) next to it — "
-                "build the embedded library with tools/build_data.py, or "
-                "pass --hmm with your own HMMER3 ASCII file"
+                f"{filename}: no {stem + '.hmm'!r} (or .hmm.gz / .h3m) next "
+                "to it — build the embedded library with "
+                "tools/build_data.py, or pass --hmm with your own HMMER3 "
+                "file"
             )

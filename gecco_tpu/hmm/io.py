@@ -76,23 +76,29 @@ def _probabilities(tokens: List[str]) -> "numpy.ndarray":
 
 
 def parse_hmmer3(path: Union[str, BinaryIO]) -> Iterator[ProfileHMM]:
-    """Parse all profiles from a HMMER3 ASCII ``.hmm`` file.
+    """Parse all profiles from a HMMER3 ``.hmm`` (ASCII) or ``.h3m`` file.
 
-    Pressed binary files (``.h3m``/``.h3f``/``.h3p``, written by
-    ``hmmpress``/pyhmmer — what the reference's ``setup.py build_data``
-    produces) are detected by their non-ASCII magic and rejected with a
-    clear error: convert with ``hmmconvert`` (or keep the ``.hmm`` the
-    binary was pressed from).
+    Pressed binary core-model files (``.h3m``, what the reference's
+    ``setup.py build_data`` ships — ``/root/reference/setup.py:344-372``)
+    are detected by their record magic and routed to the binary reader
+    (:mod:`gecco_tpu.hmm.h3m`).  The auxiliary ``.h3f``/``.h3p`` halves
+    of a pressed database contain no parseable core model and are
+    rejected with a pointer at the ``.h3m``.
     """
     with zopen(path) as handle:
         raw = handle.read()
+    from .h3m import is_h3m, read_h3m
+
+    if is_h3m(raw):
+        yield from read_h3m(raw)
+        return
     try:
         text = raw.decode()
     except UnicodeDecodeError:
         raise ValueError(
-            "binary HMMER file (.h3m/.h3f/.h3p) is not supported: "
-            "provide the HMMER3 ASCII .hmm it was pressed from "
-            "(hmmconvert writes one)"
+            "unrecognized binary HMMER file (.h3f/.h3p/.h3i are the "
+            "pressed filter/profile/index parts and hold no core "
+            "model): load the .h3m or the ASCII .hmm instead"
         ) from None
     lines = iter(text.splitlines())
     header: Optional[str] = None

@@ -43,7 +43,7 @@ def iter_profile_blocks(handle):
             block = []
 
 
-def main(source: str, data_dir: str = DATA_DIR) -> None:
+def main(source: str, data_dir: str = DATA_DIR, press: bool = False) -> None:
     whitelist = load_whitelist(data_dir)
     opener = gzip.open if source.endswith(".gz") else open
     kept = 0
@@ -82,8 +82,22 @@ def main(source: str, data_dir: str = DATA_DIR) -> None:
     print(f"kept {kept}/{len(whitelist)} whitelisted profiles -> {out_path}")
     print(f"updated {ini_path} (md5 {hasher.hexdigest()})")
 
+    if press:
+        # the reference ships the pruned library PRESSED
+        # (setup.py:344-372 writes binary .h3m); mirror that layout so
+        # either data directory is interchangeable
+        sys.path.insert(
+            0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        from gecco_tpu.hmm.h3m import write_h3m
+        from gecco_tpu.hmm.io import parse_hmmer3
+
+        h3m_path = os.path.join(data_dir, "Pfam.h3m")
+        write_h3m(h3m_path, list(parse_hmmer3(out_path)))
+        print(f"pressed binary core models -> {h3m_path}")
+
 
 if __name__ == "__main__":
-    if len(sys.argv) < 2:
+    argv = [a for a in sys.argv[1:] if a != "--press"]
+    if not argv:
         sys.exit(__doc__)
-    main(*sys.argv[1:])
+    main(*argv, press="--press" in sys.argv[1:])
