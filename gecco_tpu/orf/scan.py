@@ -62,6 +62,8 @@ MASK_RUN = 50           # pyrodigal masks runs of >=50 N
 _LINKER = "TTAATTAATTAA"  # single-mode contig linker (orf.py:80-84)
 W_START = 2.0           # weight of the learned start-codon log-odds
 W_RBS = 2.0             # weight of the learned RBS-bin log-odds
+W_UPSTREAM = 1.5        # weight of the positional upstream model (uscore)
+W_UP_WINDOW = 45        # upstream window, like Prodigal's -1..-45 region
 
 _BASE = {"A": 0, "C": 1, "G": 2, "T": 3}
 
@@ -93,7 +95,7 @@ def _mask_spans(codes: "numpy.ndarray", min_run: int = MASK_RUN) -> List[Tuple[i
 class _Candidate:
     __slots__ = (
         "start", "end", "strand", "score",
-        "partial_begin", "partial_end", "codon", "rbs",
+        "partial_begin", "partial_end", "codon", "rbs", "upstream",
     )
 
     def __init__(self, start, end, strand, score=0.0,
@@ -106,6 +108,7 @@ class _Candidate:
         self.partial_end = partial_end
         self.codon: Optional[str] = None
         self.rbs: int = -1
+        self.upstream: Optional[str] = None  # W_UP_WINDOW nt before start
 
 
 MAX_STARTS = 16
@@ -171,8 +174,9 @@ def _find_orfs(codes: "numpy.ndarray", strand: int, length: int) -> List[_Candid
     return candidates
 
 
-def _hexamer_counts(codes: "numpy.ndarray", spans: Sequence[Tuple[int, int]]) -> "numpy.ndarray":
-    counts = numpy.ones(4096, dtype=numpy.float64)  # +1 pseudocounts
+def _hexamer_counts(codes: "numpy.ndarray", spans: Sequence[Tuple[int, int]],
+                    pseudocount: float = 1.0) -> "numpy.ndarray":
+    counts = numpy.full(4096, pseudocount, dtype=numpy.float64)
     valid = codes >= 0
     # base-4 rolling hexamer codes
     for begin, end in spans:
@@ -194,7 +198,24 @@ def _hexamer_counts(codes: "numpy.ndarray", spans: Sequence[Tuple[int, int]]) ->
 class _StrandData:
     """One strand of a training/inference sequence, with candidates."""
 
-    __slots__ = ("seq5", "codes", "cands", "strand")
+    __slots__ = ("seq5", "codes", "cands", "strand", "_up_codes")
+
+    def upstream_codes(self) -> "numpy.ndarray":
+        """``[n_cands, W_UP_WINDOW]`` encoded upstream windows (cached).
+
+        Right-aligned (column ``W-1`` = position −1); missing/N
+        positions hold −1, which the positional scorer maps to 0.
+        """
+        if self._up_codes is None:
+            W = W_UP_WINDOW
+            out = numpy.full((len(self.cands), W), -1, dtype=numpy.int8)
+            for i, c in enumerate(self.cands):
+                lo = max(0, c.start - W)
+                seg = self.codes[lo : c.start]
+                if len(seg):
+                    out[i, W - len(seg):] = seg
+            self._up_codes = out
+        return self._up_codes
 
     def __init__(self, seq5: str, strand: int, mask: bool) -> None:
         self.seq5 = seq5
@@ -222,37 +243,110 @@ class _StrandData:
                 if motif in upstream:
                     c.rbs = b
                     break
+            c.upstream = seq5[max(0, c.start - W_UP_WINDOW): c.start]
         self.cands = cands
+        self._up_codes = None
 
 
 class _Model:
-    """A fitted gene model: hexamer log-odds + learned start statistics."""
+    """A fitted gene model: hexamer log-odds + learned start statistics.
 
-    __slots__ = ("log_odds", "codon_lo", "rbs_lo")
+    ``upstream_lo`` is an optional positional upstream base log-odds
+    matrix ``[W_UPSTREAM, 4]`` — the analog of Prodigal's ``uscore``
+    (upstream composition model, the start signal it falls back to for
+    genomes that do not use Shine-Dalgarno motifs).  The preset
+    trainer fits it; the self-trainer leaves it off (the RBS bins carry
+    the signal for SD-using genomes).
+    """
 
-    def __init__(self, log_odds, codon_lo, rbs_lo) -> None:
+    __slots__ = ("log_odds", "codon_lo", "rbs_lo", "upstream_lo")
+
+    def __init__(self, log_odds, codon_lo, rbs_lo, upstream_lo=None) -> None:
         self.log_odds = log_odds
         self.codon_lo = codon_lo      # {codon: log-odds}
         self.rbs_lo = rbs_lo          # numpy [len(_RBS_MOTIFS)+1], last = no-RBS
+        self.upstream_lo = upstream_lo
 
     def start_bonus(self, c: _Candidate) -> float:
         if c.partial_begin:
             return 0.0
-        return (
+        bonus = (
             W_START * self.codon_lo.get(c.codon, -2.0)
             + W_RBS * float(self.rbs_lo[c.rbs])
         )
+        if self.upstream_lo is not None and c.upstream is not None:
+            lo = self.upstream_lo
+            w = lo.shape[0]
+            u = c.upstream[-w:]
+            offset = w - len(u)
+            bonus += W_UPSTREAM * float(sum(
+                lo[offset + i, _BASE[ch]] for i, ch in enumerate(u)
+                if ch in _BASE
+            ))
+        return bonus
+
+    def start_bonus_batch(self, strand_data: "_StrandData") -> "numpy.ndarray":
+        """Vectorized :meth:`start_bonus` over one strand's candidates."""
+        cands = strand_data.cands
+        out = numpy.array([
+            0.0 if c.partial_begin else (
+                W_START * self.codon_lo.get(c.codon, -2.0)
+                + W_RBS * float(self.rbs_lo[c.rbs])
+            )
+            for c in cands
+        ])
+        if self.upstream_lo is not None and cands:
+            codes = strand_data.upstream_codes()       # [n, W], -1 = pad/N
+            lo = numpy.zeros((codes.shape[1], 5))
+            lo[:, :4] = self.upstream_lo
+            scores = lo[numpy.arange(codes.shape[1])[None, :], codes].sum(axis=1)
+            complete = numpy.array([not c.partial_begin for c in cands])
+            out += W_UPSTREAM * scores * complete
+        return out
+
+
+#: contigs at least this long self-train in metagenome mode (enough
+#: statistics to beat any preset; Prodigal's own guidance is >=100 kb
+#: of sequence for training) — shorter contigs score the preset bank
+SELF_TRAIN_MIN = 100_000
 
 
 class ScanFinder(ORFFinder):
-    """Self-training six-frame gene finder with DP gene selection."""
+    """Six-frame gene finder with DP gene selection.
+
+    In metagenome mode, short contigs are scored against a bank of
+    PRETRAINED models and the best-fitting one is kept — Prodigal's
+    metagenome design (``/root/reference/gecco/orf.py:75``,
+    ``GeneFinder(meta=True)`` over ~50 preset training files; the
+    winner appears in its GFF output as ``model="36|Ralstonia_..."``).
+    Contigs of at least ``SELF_TRAIN_MIN`` bp train on themselves
+    instead (two-pass self-training, the Prodigal single-mode scheme),
+    as does ``metagenome=False`` over the joined input.
+    """
 
     def __init__(self, metagenome: bool = True, mask: bool = False, cpus: int = 0,
-                 translation_table: int = 11) -> None:
+                 translation_table: int = 11, presets: Optional[Sequence] = None) -> None:
         self.metagenome = metagenome
         self.mask = mask
         self.cpus = cpus
         self.translation_table = translation_table
+        self._presets = presets          # None = lazy-load embedded bank
+
+    def _preset_models(self) -> List[Tuple[str, _Model]]:
+        if self._presets is None:
+            from .presets import load_presets
+
+            self._presets = load_presets()
+        out = []
+        for preset in self._presets:
+            model = _Model(
+                preset.log_odds,
+                dict(zip(_STARTS, preset.codon_lo.tolist())),
+                preset.rbs_lo,
+                getattr(preset, "upstream_lo", None),
+            )
+            out.append((preset.name, model))
+        return out
 
     # -- scoring ------------------------------------------------------------
 
@@ -455,21 +549,48 @@ class ScanFinder(ORFFinder):
             return
         forward = _StrandData(seq, 1, self.mask)
         reverse = _StrandData(reverse_complement(seq), -1, self.mask)
-        if model is None:
-            model = self._fit_model((forward, reverse))
+        models: List[_Model]
+        if model is not None:
+            models = [model]
+        elif n < SELF_TRAIN_MIN and self._preset_models():
+            # metagenome preset bank: every model scores the contig,
+            # the highest-scoring selected gene set wins
+            models = [m for _name, m in self._preset_models()]
+        else:
+            models = [self._fit_model((forward, reverse))]
 
+        # candidate scores per model on strand-LOCAL coordinates
+        per_model: List[List["numpy.ndarray"]] = []
+        for m in models:
+            scored = []
+            for s in (forward, reverse):
+                coding = self._score_batch(s.codes, s.cands, m.log_odds)
+                scored.append(coding + m.start_bonus_batch(s))
+            per_model.append(scored)
+
+        # map to forward coordinates (once)
         merged: List[_Candidate] = []
         for s in (forward, reverse):
-            scores = self._score_batch(s.codes, s.cands, model.log_odds)
-            for candidate, coding in zip(s.cands, scores):
-                candidate.score = float(coding) + model.start_bonus(candidate)
+            for candidate in s.cands:
                 if s.strand == -1:
-                    # map to forward coordinates
                     start, end = candidate.start, candidate.end
                     candidate.start, candidate.end = n - end, n - start
                 merged.append(candidate)
 
-        selected = self._select(merged)
+        best_total = -numpy.inf
+        winner: List[Tuple[_Candidate, float]] = []
+        for scored in per_model:
+            for s, values in zip((forward, reverse), scored):
+                for candidate, value in zip(s.cands, values):
+                    candidate.score = float(value)
+            chosen = self._select(merged)
+            total = sum(c.score for c in chosen)
+            if total > best_total:
+                best_total = total
+                winner = [(c, c.score) for c in chosen]
+        for candidate, value in winner:
+            candidate.score = value
+        selected = [c for c, _v in winner]
         selected.sort(key=lambda c: (c.start, c.end))
         for i, candidate in enumerate(selected):
             if candidate.strand == 1:
