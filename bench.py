@@ -27,6 +27,12 @@ Per-stage wall seconds, DP cells, and Gcells/s come from
 ``SearchPipeline.stage_seconds``/``stage_cells``; they are printed on
 stderr and embedded in the JSON line under ``"stages"``.
 
+The headline number is STEADY-STATE batch throughput: gene calling of
+genome k+1 runs on the host (C++ core, GIL released) while the chip
+searches genome k (``gecco_tpu.parallel.pipelined_map``), measured
+over a 3-genome pipeline after warmup; the sequential single-genome
+latency is reported alongside on stderr.
+
 Baseline: the reference (pyrodigal/pyhmmer/CRFsuite on a multicore CPU
 node) runs ``gecco run`` at roughly 40 genomes/hour (≈90 s/genome); no
 official number is published (``BASELINE.md``), so ``vs_baseline`` is
@@ -45,10 +51,11 @@ import time
 import numpy
 
 GENOME_PROTEINS = 3000
-GENOME_GENES = 3000
+GENOME_GENES = 3230   # calls ~3,000 genes de novo (the nominal genome)
 BASELINE_GENOMES_PER_HOUR = 40.0
 N_PROFILES = 2766
 BUDGET_S = float(os.environ.get("GECCO_BENCH_BUDGET", "1500"))
+PIPELINE_GENOMES = 3  # steady-state measurement depth
 
 
 def main() -> None:
@@ -177,12 +184,35 @@ def main() -> None:
     float(jnp.sum(marginals_jax(windows, trans)))
     t_crf = time.perf_counter() - t0
 
-    # ---- normalize to genomes/hour (gene calling + annotate + decode);
-    # a "genome" is 3,000 proteins, so both the caller pass (which found
-    # len(seqs) genes in the 3 Mbp contig) and the search scale by the
-    # same factor
+    # ---- steady-state batch throughput: gene calling of genome k+1
+    # overlaps the device search of genome k (the production batch
+    # pattern, ``gecco_tpu.parallel.pipelined_map``); every kernel
+    # shape is already warm from the timed search above
+    from gecco_tpu.parallel import pipelined_map
+
+    def host_stage(record):
+        called = list(finder.find_genes([record]))
+        prepared = [encode_sequence(str(g.protein.seq))[:512] for g in called]
+        rng_h = numpy.random.default_rng(7)
+        for i in range(len(prepared)):
+            if i % 4 != 3:
+                gm = profiles[(i * 13) % N_PROFILES]
+                prepared[i] = plant_domain(
+                    prepared[i], gm, rng_h, max_len=min(150, gm.M))
+        return prepared
+
+    t0 = time.perf_counter()
+    for out in pipelined_map(
+        host_stage, pipeline.search, [record] * PIPELINE_GENOMES
+    ):
+        assert len(out) > 0
+    t_pipelined = (time.perf_counter() - t0) / PIPELINE_GENOMES
+
+    # a "genome" is nominally 3,000 proteins; the caller finds ~that
+    # many in the 3 Mbp contig, so the scale factor is ~1
     scale = GENOME_PROTEINS / len(seqs)
-    seconds_per_genome = (t_orf + t_search) * scale + t_crf
+    seconds_per_genome = t_pipelined * scale + t_crf
+    sequential = (t_orf + t_search) * scale + t_crf
     genomes_per_hour = 3600.0 / seconds_per_genome
     result = {
         "metric": "genomes/hour/chip",
@@ -198,7 +228,9 @@ def main() -> None:
         f"# orf={t_orf:.2f}s ({len(genes)} genes / {len(genome)} bp) "
         f"search={t_search:.3f}s ({len(hits)} hits, {n_domains} domains, "
         f"{len(seqs)} proteins x {N_PROFILES} profiles) crf={t_crf:.3f}s "
-        f"sec/genome={seconds_per_genome:.2f} device={jax.devices()[0].platform}",
+        f"pipelined={t_pipelined:.2f}s/genome "
+        f"sec/genome={seconds_per_genome:.2f} (sequential {sequential:.2f}) "
+        f"device={jax.devices()[0].platform}",
         file=sys.stderr,
     )
     print(f"# survivors: {counts}", file=sys.stderr)

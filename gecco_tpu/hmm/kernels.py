@@ -2037,31 +2037,43 @@ class PairBucketed:
                 mine = profs[bucket_of[profs] == b]
                 for c0 in range(0, len(mine), chunk_b):
                     rows.append((s, mine[c0 : c0 + chunk_b]))
-            # group rows of similar width together: each dispatch group
-            # pads every row to its widest member
-            rows.sort(key=lambda r: -len(r[1]))
             if not rows:
                 continue
+            # width-QUANTIZED dispatch groups: every row's survivor
+            # count rounds up to the call_packed C granularity
+            # (multiples of 16 to 64, powers of two above), and rows of
+            # the same quantized width go out together — a row with 3
+            # survivors never pads to a 60-survivor neighbour's width
+            # (mixed-width groups wasted 2-4x the DP cells at real
+            # survivor-count distributions)
+            def qwidth(n: int) -> int:
+                if n <= 64:
+                    return max(8, _round_up(n, 16))
+                return 1 << (n - 1).bit_length()
+
+            by_width: Dict[int, List[Tuple[int, "numpy.ndarray"]]] = {}
+            for row in rows:
+                by_width.setdefault(qwidth(len(row[1])), []).append(row)
             # bound the kernel's gathered-emissions HBM footprint
             # (21 x rows x C x Mp f32): genome-sized batches go out in
             # row groups instead of one giant call.  All groups are
             # DISPATCHED before any result is fetched — a per-group sync
             # would pay the remote-device round-trip latency serially
             # (the same pipelining `Bucketed.masks` does)
-            group = max(256, (2048 << 20) // (21 * chunk_b * kern.bank.Mp * 4))
-            for g0 in range(0, len(rows), group):
-                grows = rows[g0 : g0 + group]
-                C0 = max(len(mine) for _, mine in grows)
-                pair_idx = numpy.zeros((len(grows), C0), dtype=numpy.int32)
-                for r, (_s, mine) in enumerate(grows):
-                    pair_idx[r, : len(mine)] = row_of[mine]
-                krows = numpy.asarray(
-                    [seq_rows[s] for s, _ in grows], dtype=numpy.int32
-                )
-                scores = kern.call_packed(
-                    pack, krows, pair_idx, interpret=interpret, fetch=False
-                )
-                pending.append((grows, scores))
+            for C0, wrows in sorted(by_width.items()):
+                group = max(256, (2048 << 20) // (21 * C0 * kern.bank.Mp * 4))
+                for g0 in range(0, len(wrows), group):
+                    grows = wrows[g0 : g0 + group]
+                    pair_idx = numpy.zeros((len(grows), C0), dtype=numpy.int32)
+                    for r, (_s, mine) in enumerate(grows):
+                        pair_idx[r, : len(mine)] = row_of[mine]
+                    krows = numpy.asarray(
+                        [seq_rows[s] for s, _ in grows], dtype=numpy.int32
+                    )
+                    scores = kern.call_packed(
+                        pack, krows, pair_idx, interpret=interpret, fetch=False
+                    )
+                    pending.append((grows, scores))
         TIMER.records.append(
             ("pair.pack+dispatch", time.perf_counter() - t_pack))
         t_fetch = time.perf_counter()

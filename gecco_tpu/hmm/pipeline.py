@@ -85,6 +85,7 @@ class SearchPipeline:
         backend: str = "auto",
         filter_stage: str = "ssv",
         bias_filter: bool = True,
+        devices=None,
     ) -> None:
         self.profiles = list(profiles)
         self.Z = Z
@@ -116,6 +117,13 @@ class SearchPipeline:
         if filter_stage not in ("ssv", "msv"):
             raise ValueError(f"invalid filter stage: {filter_stage!r}")
         self.filter_stage = filter_stage
+        # data parallelism over local devices: "all", a device list, or
+        # None (single device).  Each device gets its own sub-pipeline
+        # (device tensors built lazily under jax.default_device) and a
+        # balanced sequence shard; one process then saturates a
+        # multi-chip host (SURVEY §2.3 "data parallelism the workhorse")
+        self.devices = devices
+        self._subs: Optional[List["SearchPipeline"]] = None
         self._bank = ProfileBank.build(self.profiles) if self.profiles else None
         self._filter_kernel = None
         self._pair_forward = None
@@ -156,12 +164,105 @@ class SearchPipeline:
             )
         return cutoff
 
+    # -- multi-device data parallelism --------------------------------------
+
+    def _resolve_devices(self) -> Optional[List]:
+        if self.devices is None:
+            return None
+        import jax
+
+        devs = (list(jax.local_devices()) if self.devices == "all"
+                else list(self.devices))
+        return devs if len(devs) > 1 else None
+
+    def _search_multi(self, sequences, devices) -> List[SequenceHit]:
+        """One search, sequences sharded over local devices.
+
+        Every device runs the full per-stage stack on its shard inside
+        its own thread under ``jax.default_device`` (thread-local), so
+        all chips' kernels execute concurrently; results are re-indexed
+        and merged in deterministic (sequence, profile) order.
+        """
+        import threading
+
+        import jax
+
+        from ..parallel import shard_sequences
+
+        if self._subs is None:
+            self._subs = []
+            for _ in devices:
+                sub = SearchPipeline(
+                    [], Z=self.Z, domZ=self.domZ, F1=self.F1, F2=self.F2,
+                    F3=self.F3, E=self.E, domE=self.domE,
+                    bit_cutoffs=self.bit_cutoffs,
+                    use_accelerator=self.use_accelerator,
+                    max_filter=self.max_filter, backend=self.backend,
+                    filter_stage=self.filter_stage,
+                    bias_filter=self.bias_filter,
+                )
+                # share the host-side profile objects and packed bank;
+                # device tensors build lazily on the sub's own device
+                sub.profiles = self.profiles
+                sub._bank = self._bank
+                self._subs.append(sub)
+        shards = shard_sequences(sequences, len(devices))
+        Z = self.Z if self.Z is not None else float(len(sequences))
+        results: List[Optional[List[SequenceHit]]] = [None] * len(devices)
+        errors: List[BaseException] = []
+
+        def work(d: int) -> None:
+            try:
+                idx = shards[d]
+                if not idx:
+                    results[d] = []
+                    return
+                sub = self._subs[d]
+                sub.Z = Z
+                sub.domZ = self.domZ if self.domZ is not None else Z
+                with jax.default_device(devices[d]):
+                    hits = sub.search([sequences[i] for i in idx])
+                for hit in hits:
+                    hit.sequence_index = idx[hit.sequence_index]
+                results[d] = hits
+            except BaseException as exc:  # surfaced after join
+                errors.append(exc)
+
+        threads = [
+            threading.Thread(target=work, args=(d,)) for d in range(len(devices))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errors:
+            raise errors[0]
+        order = {id(gm): p for p, gm in enumerate(self.profiles)}
+        merged = [h for r in results if r for h in r]
+        merged.sort(key=lambda h: (h.sequence_index, order[id(h.profile)]))
+        # aggregate per-stage accounting across shards
+        self.stage_counts = {}
+        self.stage_seconds = {}
+        self.stage_cells = {}
+        for sub in self._subs:
+            for key, value in sub.stage_counts.items():
+                self.stage_counts[key] = self.stage_counts.get(key, 0) + value
+            for key, value in sub.stage_seconds.items():
+                self.stage_seconds[key] = max(
+                    self.stage_seconds.get(key, 0.0), value)
+            for key, value in sub.stage_cells.items():
+                self.stage_cells[key] = self.stage_cells.get(key, 0.0) + value
+        return merged
+
     # -- search ------------------------------------------------------------
 
     def search(self, sequences: Sequence["numpy.ndarray"]) -> List[SequenceHit]:
         """Search all profiles against all encoded sequences."""
         if not self.profiles or not sequences:
             return []
+        devices = self._resolve_devices()
+        if devices is not None and len(sequences) > 1:
+            return self._search_multi(sequences, devices)
         Z = self.Z if self.Z is not None else float(len(sequences))
         domZ = self.domZ if self.domZ is not None else Z
         lengths = numpy.array([len(x) for x in sequences])
@@ -306,13 +407,14 @@ class SearchPipeline:
         if surviving and not self.max_filter and self.use_accelerator:
             keys = sorted(surviving)
             if backend == "pallas":
+                # F2 runs on the per-sequence pair kernels (emissions
+                # stay VMEM-resident, ~21 B/pair-node of HBM) — at the
+                # F1-survivor scale the pre-gathered stream scorer's
+                # 4 B/DP-cell emission streams are HBM-bound and lose
                 if self._pair_viterbi is None:
-                    from .stream import StreamScores
+                    from .kernels import PairBucketed
 
-                    self._pair_viterbi = StreamScores(
-                        self._bank, viterbi=True,
-                        shared=self._shared_stream_bank(),
-                    )
+                    self._pair_viterbi = PairBucketed(self._bank, viterbi=True)
                 s_loc, p_arr, v_arr = self._pair_viterbi.flat_packed(
                     pack, numpy.asarray(keys, dtype=numpy.int32),
                     [surviving[i] for i in keys],

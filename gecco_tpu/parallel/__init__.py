@@ -27,7 +27,35 @@ __all__ = [
     "sharded_forward_scores",
     "merge_clusters",
     "crf_train_step",
+    "pipelined_map",
 ]
+
+
+def pipelined_map(host_fn, device_fn, items):
+    """Two-stage host/device software pipeline over a work list.
+
+    Yields ``device_fn(host_fn(item))`` per item, with the NEXT item's
+    ``host_fn`` running in a worker thread while the device processes
+    the current one.  This is how a batch ``run`` keeps the chip busy:
+    gene calling (host + C++ core, GIL released) of genome *k+1*
+    overlaps the annotation search of genome *k*, so steady-state
+    throughput is set by ``max(host, device)`` instead of their sum.
+    The reference's analog is its per-contig ``ThreadPool`` inside ONE
+    stage (``/root/reference/gecco/orf.py:95``); this pipelines ACROSS
+    stages, which only pays off with an accelerator to keep fed.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    items = list(items)
+    if not items:
+        return
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        future = pool.submit(host_fn, items[0])
+        for k in range(len(items)):
+            prepared = future.result()
+            if k + 1 < len(items):
+                future = pool.submit(host_fn, items[k + 1])
+            yield device_fn(prepared)
 
 
 def make_mesh(n_devices: Optional[int] = None, model_axis: int = 1):

@@ -28,6 +28,46 @@ def test_eight_virtual_devices():
     assert len(jax.devices()) == 8
 
 
+def test_pipeline_multi_device_matches_single():
+    """The PRODUCTION SearchPipeline sharded over 8 local devices
+    (``devices="all"``) returns the same hits, scores, and domains as
+    one device — one process saturating a multi-chip host."""
+    from gecco_tpu.hmm.pipeline import SearchPipeline
+
+    from conftest import reference_path
+    from gecco_tpu import seqio
+    from gecco_tpu.hmm.io import encode_sequence, parse_hmmer3
+    from gecco_tpu.hmm.profile import configure_local
+
+    profiles = [
+        configure_local(p)
+        for p in parse_hmmer3(
+            reference_path("test_hmmer", "data", "minipfam.hmm"))
+    ]
+    fixture = [
+        encode_sequence(str(r.seq))
+        for r in seqio.parse(
+            reference_path("test_hmmer", "data", "proteins.faa"))
+    ]
+    # 12 sequences over 8 devices: real hits on several shards
+    seqs = [fixture[i % len(fixture)] for i in range(12)]
+    single = SearchPipeline(profiles, Z=10, domZ=10).search(seqs)
+    multi_pipeline = SearchPipeline(profiles, Z=10, domZ=10, devices="all")
+    multi = multi_pipeline.search(seqs)
+    assert len(multi) == len(single) > 0
+    for a, b in zip(single, multi):
+        assert a.sequence_index == b.sequence_index
+        assert a.profile.name == b.profile.name
+        assert b.score == pytest.approx(a.score, abs=1e-4)
+        assert len(a.domains) == len(b.domains)
+        for da, db in zip(a.domains, b.domains):
+            assert (da.ienv, da.jenv) == (db.ienv, db.jenv)
+            assert (da.target_from, da.target_to) == (db.target_from, db.target_to)
+    # every shard contributed accounting; survivor counts add up
+    assert multi_pipeline.stage_counts["pairs"] == 12 * len(profiles)
+    assert multi_pipeline.stage_counts["reported"] == len(multi)
+
+
 def test_make_mesh_shapes():
     mesh = make_mesh(8, model_axis=2)
     assert mesh.devices.shape == (4, 2)
