@@ -155,6 +155,150 @@ def test_run_fasta_end_to_end(tmp_path):
     assert (tmp_path / "BGC0001737.clusters.tsv").exists()
 
 
+def test_run_detects_planted_cluster(tmp_path):
+    """`run` on a synthetic genome with a planted multi-gene BGC finds
+    EXACTLY one cluster with the right bounds (the reference's own run
+    test asserts one detected cluster on its test genome,
+    `/root/reference/tests/test_cli/test_run.py:35-70`).
+
+    The genome carries 7 consecutive genes whose proteins embed
+    minipfam domains that a purpose-trained CRF weights positively,
+    inside domain-free flanks; the full de-novo path runs: gene
+    calling -> profile-HMM annotation -> CRF -> refinement -> typing.
+    """
+    import numpy
+
+    from gecco_tpu.hmm.io import AMINO_ALPHABET, BACKGROUND_F, parse_hmmer3
+    from gecco_tpu.hmm.profile import configure_local
+    from gecco_tpu.model import (
+        ClusterTable, Domain, FeatureTable, Gene, GeneTable, Protein, Strand)
+    from gecco_tpu.seq import Seq, SeqRecord, translate
+
+    profiles = [configure_local(p) for p in parse_hmmer3(MINIPFAM)]
+    # mid-sized models: a near-full-length planted instance scores
+    # far below the 1e-9 domain p-value filter
+    wanted = ("PF16998", "PF00389", "PF02826")
+    cluster_profiles = [
+        p for p in profiles if p.accession.split(".")[0] in wanted]
+    cluster_accs = [p.accession.split(".")[0] for p in cluster_profiles]
+
+    # ---- train a model whose CRF weights those accessions positively
+    rng = numpy.random.default_rng(9)
+    corpus = []
+    for c in range(4):
+        source = SeqRecord(id=f"ctg{c}", seq=Seq(""))
+        lo, hi = 10, 20
+        for i in range(30):
+            inside = lo <= i < hi
+            domains = []
+            if inside and rng.random() < 0.9:
+                domains.append(Domain(
+                    cluster_accs[int(rng.integers(0, 3))], 1, 10, "Pfam",
+                    1e-10, 1e-12, probability=1.0))
+            corpus.append(Gene(
+                source, i * 100 + 1, i * 100 + 90, Strand.Coding,
+                Protein(f"ctg{c}_{i+1}", Seq("M"), domains),
+                _probability=1.0 if inside else 0.0,
+            ))
+    with open(tmp_path / "genes.tsv", "wb") as f:
+        GeneTable.from_genes(corpus).dump(f)
+    with open(tmp_path / "features.tsv", "wb") as f:
+        FeatureTable.from_genes(corpus).dump(f)
+    rows = {"sequence_id": [], "cluster_id": [], "start": [], "end": [],
+            "average_p": [], "max_p": [], "type": [], "proteins": [],
+            "domains": []}
+    for c in range(4):
+        rows["sequence_id"].append(f"ctg{c}")
+        rows["cluster_id"].append(f"ctg{c}_cluster_1")
+        rows["start"].append(10 * 100 + 1)
+        rows["end"].append(19 * 100 + 90)
+        rows["average_p"].append(1.0)
+        rows["max_p"].append(1.0)
+        rows["type"].append("Polyketide")
+        rows["proteins"].append("")
+        rows["domains"].append("")
+    with open(tmp_path / "clusters.tsv", "wb") as f:
+        ClusterTable(rows).dump(f)
+    model_dir = tmp_path / "model"
+    stream = io.StringIO()
+    code = main([
+        "train", "-g", str(tmp_path / "genes.tsv"),
+        "-f", str(tmp_path / "features.tsv"),
+        "-c", str(tmp_path / "clusters.tsv"),
+        "-o", str(model_dir), "-W", "10", "--c1", "0.05", "--seed", "42",
+    ], stream)
+    assert code == 0, stream.getvalue()
+
+    # ---- synthesize the genome: 8 clean flank genes, 7 planted, 8 flank
+    codon_of = {}
+    for a in "ACGT":
+        for b in "ACGT":
+            for c in "ACGT":
+                codon = a + b + c
+                codon_of.setdefault(translate(codon), []).append(codon)
+    p_bg = BACKGROUND_F / BACKGROUND_F.sum()
+
+    def protein_dna(planted_with=None):
+        x = rng.choice(20, size=200, p=p_bg).astype(numpy.int32)
+        if planted_with is not None:
+            # consensus (per-node argmax) instance: an unambiguous,
+            # full-strength hit (sampled emissions average only
+            # ~0.3 bit/node against real Pfam match rows)
+            cons = numpy.argmax(
+                planted_with.hmm.match[1:, :20], axis=1)[:170]
+            x[20 : 20 + len(cons)] = cons
+        aas = "".join(AMINO_ALPHABET[i] for i in x)
+        codons = [codon_of[aa][int(rng.integers(0, len(codon_of[aa])))]
+                  for aa in aas]
+        return "ATG" + "".join(codons) + "TAA"
+
+    def spacer():
+        return "".join("ACGT"[int(rng.integers(0, 4))] for _ in range(60))
+
+    parts, gene_spans, planted_span = [], [], [None, None]
+    pos = 0
+    for i in range(23):
+        s = spacer()
+        parts.append(s)
+        pos += len(s)
+        gm = cluster_profiles[i % 3] if 8 <= i < 15 else None
+        dna = protein_dna(gm)
+        parts.append(dna)
+        gene_spans.append((pos + 1, pos + len(dna)))
+        if 8 <= i < 15:
+            if planted_span[0] is None:
+                planted_span[0] = pos + 1
+            planted_span[1] = pos + len(dna)
+        pos += len(dna)
+    genome = "".join(parts)
+    with open(tmp_path / "planted.fna", "w") as f:
+        f.write(">planted\n")
+        for k in range(0, len(genome), 70):
+            f.write(genome[k : k + 70] + "\n")
+
+    # ---- full de-novo run
+    out_dir = tmp_path / "out"
+    stream = io.StringIO()
+    code = main([
+        "run", "-g", str(tmp_path / "planted.fna"),
+        "--hmm", MINIPFAM, "--model", str(model_dir),
+        "-o", str(out_dir), "--force-tsv",
+    ], stream)
+    assert code == 0, stream.getvalue()
+    import csv
+
+    with open(out_dir / "planted.clusters.tsv") as f:
+        clusters = list(csv.DictReader(f, delimiter="\t"))
+    assert len(clusters) == 1, clusters
+    (cluster,) = clusters
+    start, end = int(cluster["start"]), int(cluster["end"])
+    # bounds inside the planted region, within one gene+spacer of slack
+    assert planted_span[0] - 700 <= start <= planted_span[0] + 700
+    assert planted_span[1] - 700 <= end <= planted_span[1] + 700
+    assert float(cluster["average_p"]) > 0.8
+    assert cluster["proteins"].count(";") >= 3  # multi-gene cluster
+
+
 def test_run_cds_features(tmp_path):
     """`run --cds-feature CDS` on an annotated GenBank file."""
     stream = io.StringIO()
