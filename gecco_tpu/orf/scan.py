@@ -177,21 +177,34 @@ def _find_orfs(codes: "numpy.ndarray", strand: int, length: int) -> List[_Candid
 def _hexamer_counts(codes: "numpy.ndarray", spans: Sequence[Tuple[int, int]],
                     pseudocount: float = 1.0) -> "numpy.ndarray":
     counts = numpy.full(4096, pseudocount, dtype=numpy.float64)
+    if not len(spans):
+        return counts
+    # ONE rolling-hexamer pass over the whole sequence, then one
+    # bincount over the concatenated in-frame span positions (a
+    # per-span ufunc.at loop cost more than the native ORF scan on
+    # genome-sized training passes)
+    n = len(codes)
+    if n < 6:
+        return counts
+    seg = codes.astype(numpy.int64)
+    h_all = (
+        seg[:-5] * 1024 + seg[1:-4] * 256 + seg[2:-3] * 64
+        + seg[3:-2] * 16 + seg[4:-1] * 4 + seg[5:]
+    )
     valid = codes >= 0
-    # base-4 rolling hexamer codes
-    for begin, end in spans:
-        seg = codes[begin:end]
-        ok = valid[begin:end]
-        if len(seg) < 6:
-            continue
-        h = (
-            seg[:-5] * 1024 + seg[1:-4] * 256 + seg[2:-3] * 64
-            + seg[3:-2] * 16 + seg[4:-1] * 4 + seg[5:]
-        )
-        mask = ok[:-5] & ok[1:-4] & ok[2:-3] & ok[3:-2] & ok[4:-1] & ok[5:]
-        # keep only in-frame positions (codon-aligned)
-        h = h[::3][mask[::3][: len(h[::3])]]
-        numpy.add.at(counts, h, 1.0)
+    ok_all = (valid[:-5] & valid[1:-4] & valid[2:-3]
+              & valid[3:-2] & valid[4:-1] & valid[5:])
+    span_arr = numpy.asarray(spans, dtype=numpy.int64).reshape(-1, 2)
+    begins = span_arr[:, 0]
+    stops = numpy.minimum(span_arr[:, 1], n) - 5
+    lens = numpy.maximum((stops - begins + 2) // 3, 0)
+    total = int(lens.sum())
+    if total:
+        offsets = numpy.repeat(begins, lens)
+        bases = numpy.repeat(numpy.cumsum(lens) - lens, lens)
+        idx = offsets + 3 * (numpy.arange(total, dtype=numpy.int64) - bases)
+        idx = idx[ok_all[idx]]
+        counts += numpy.bincount(h_all[idx], minlength=4096)
     return counts
 
 

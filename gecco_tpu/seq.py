@@ -66,6 +66,38 @@ def reverse_complement(seq: str) -> str:
     return seq.translate(_COMPLEMENT)[::-1]
 
 
+#: per-table vectorized lookup: codon rank (0..63, 64 = ambiguous) -> aa byte
+_CODON_TABLES: Dict[int, "object"] = {}
+
+
+def _codon_table(table: int):
+    import numpy
+
+    cached = _CODON_TABLES.get(table)
+    if cached is None:
+        aas, _ = GENETIC_CODES[table]
+        cached = numpy.frombuffer(
+            (aas + "X").encode("ascii"), dtype=numpy.uint8).copy()
+        _CODON_TABLES[table] = cached
+    return cached
+
+
+_BASE_RANKS = None
+
+
+def _base_ranks():
+    global _BASE_RANKS
+    if _BASE_RANKS is None:
+        import numpy
+
+        ranks = numpy.full(128, -1, dtype=numpy.int8)
+        for ch, idx in _BASE_INDEX.items():
+            ranks[ord(ch)] = idx
+            ranks[ord(ch.lower())] = idx
+        _BASE_RANKS = ranks
+    return _BASE_RANKS
+
+
 def translate(
     seq: str,
     table: int = 11,
@@ -77,20 +109,29 @@ def translate(
     Trailing partial codons are ignored.  Ambiguous codons translate to
     ``X`` unless every resolution agrees (we keep it simple: ambiguous →
     ``X``, except fully-determined stop/aa via the table).
+
+    Vectorized (one table lookup per codon): translation is in the
+    gene caller's per-genome hot path — ~1 Mbp of protein per 3 Mbp
+    genome — and a per-codon Python loop costed more than the whole
+    native ORF scan.
     """
-    aas, _ = GENETIC_CODES[table]
-    seq = seq.upper()
-    out: List[str] = []
-    for i in range(0, len(seq) - 2, 3):
-        rank = _codon_rank(seq[i : i + 3])
-        aa = aas[rank] if rank >= 0 else "X"
-        if aa == "*":
-            if to_stop:
-                break
-            out.append(stop_symbol)
-        else:
-            out.append(aa)
-    return "".join(out)
+    import numpy
+
+    n = (len(seq) // 3) * 3
+    if n == 0:
+        return ""
+    raw = numpy.frombuffer(seq[:n].encode("ascii", "replace"), dtype=numpy.uint8)
+    base = _base_ranks()[numpy.minimum(raw, 127)].reshape(-1, 3).astype(numpy.int32)
+    ranks = base[:, 0] * 16 + base[:, 1] * 4 + base[:, 2]
+    ranks[(base < 0).any(axis=1)] = 64          # ambiguous -> 'X'
+    out = _codon_table(table)[ranks]
+    stops = out == ord("*")
+    if to_stop:
+        if stops.any():
+            out = out[: int(numpy.argmax(stops))]
+    elif stop_symbol != "*" and stops.any():
+        out[stops] = ord(stop_symbol)
+    return out.tobytes().decode("ascii")
 
 
 class Seq(str):

