@@ -661,6 +661,42 @@ def multidomain_workload():
     return profiles, seqs, planted
 
 
+def test_calibration_null_pass_rates():
+    """Calibration fidelity: on FRESH null sequences the F1 gate passes
+    within ~25% of its nominal 2% contract (HMMER's MSV filter
+    design point, mirrored at ``pipeline.SearchPipeline(F1=0.02)``).
+
+    This pins what the benchmark's survivor counts mean: with correct
+    calibration any excess over ~2% comes from true-homology-adjacent
+    pairs (planted/real domains lighting up related profiles), not
+    from loose Gumbel fits.
+    """
+    import math
+
+    from gecco_tpu.hmm.batch import ProfileBank, ssv_scores
+    from gecco_tpu.hmm.calibrate import calibrate
+    from gecco_tpu.hmm.profile import null1_score
+    from gecco_tpu.hmm.synthetic import pfam_shaped_profiles
+
+    LOG2 = math.log(2.0)
+    profiles = [p for p in pfam_shaped_profiles(90, seed=2) if p.M <= 300]
+    calibrate(profiles)
+    bank = ProfileBank.build(profiles)
+    rng = numpy.random.default_rng(424)
+    p_bg = BACKGROUND_F / BACKGROUND_F.sum()
+    seqs = [rng.choice(20, size=300, p=p_bg).astype(numpy.int32)
+            for _ in range(300)]
+    bits = (numpy.asarray(ssv_scores(bank, seqs), dtype=numpy.float64)
+            - null1_score(300)) / LOG2
+    y = LOG2 * (bits - bank.msv_mu[None, :])
+    pv = numpy.where(
+        y > 30, numpy.exp(-y),
+        1.0 - numpy.exp(-numpy.exp(-numpy.minimum(y, 30))),
+    )
+    rate = float((pv <= 0.02).mean())
+    assert 0.014 <= rate <= 0.026, rate
+
+
 def test_multidomain_adversarial_repeats():
     """Adversarial repeat proteins: the deterministic expected-B
     envelope splitter recovers the PLANTED architecture where
