@@ -57,6 +57,40 @@ N_PROFILES = 2766
 BUDGET_S = float(os.environ.get("GECCO_BENCH_BUDGET", "1500"))
 PIPELINE_GENOMES = 3  # steady-state measurement depth
 
+# ---- host stage of the batch pipeline, run in a spawned worker
+# PROCESS (gecco_tpu.parallel.pipelined_map(processes=True)): the
+# search's own host-side packing holds the GIL, so a worker THREAD
+# degrades the overlap to the serial sum.  Worker state is rebuilt
+# once in the initializer (never touches the TPU).
+_WORKER = {}
+
+
+def _bench_worker_init(n_profiles: int) -> None:
+    from gecco_tpu.hmm.synthetic import pfam_shaped_profiles
+    from gecco_tpu.orf.scan import ScanFinder
+
+    _WORKER["profiles"] = pfam_shaped_profiles(n_profiles, seed=0)
+    _WORKER["finder"] = ScanFinder()
+
+
+def _bench_host_stage(genome: str):
+    from gecco_tpu.hmm.io import encode_sequence
+    from gecco_tpu.hmm.synthetic import plant_domain
+    from gecco_tpu.seq import Seq, SeqRecord
+
+    finder = _WORKER["finder"]
+    profiles = _WORKER["profiles"]
+    record = SeqRecord(id="bench", seq=Seq(genome))
+    called = list(finder.find_genes([record]))
+    prepared = [encode_sequence(str(g.protein.seq))[:512] for g in called]
+    rng = numpy.random.default_rng(7)
+    for i in range(len(prepared)):
+        if i % 4 != 3:
+            gm = profiles[(i * 13) % len(profiles)]
+            prepared[i] = plant_domain(
+                prepared[i], gm, rng, max_len=min(150, gm.M))
+    return prepared
+
 
 def main() -> None:
     wall0 = time.perf_counter()
@@ -185,26 +219,22 @@ def main() -> None:
     t_crf = time.perf_counter() - t0
 
     # ---- steady-state batch throughput: gene calling of genome k+1
-    # overlaps the device search of genome k (the production batch
-    # pattern, ``gecco_tpu.parallel.pipelined_map``); every kernel
-    # shape is already warm from the timed search above
+    # (in a worker process) overlaps the device search of genome k
+    # (the production batch pattern, ``gecco_tpu.parallel.pipelined_map
+    # (processes=True)``); every kernel shape is already warm from the
+    # timed search above.  The worker's one-time initializer cost is
+    # excluded by priming the pool with a tiny first item.
     from gecco_tpu.parallel import pipelined_map
 
-    def host_stage(record):
-        called = list(finder.find_genes([record]))
-        prepared = [encode_sequence(str(g.protein.seq))[:512] for g in called]
-        rng_h = numpy.random.default_rng(7)
-        for i in range(len(prepared)):
-            if i % 4 != 3:
-                gm = profiles[(i * 13) % N_PROFILES]
-                prepared[i] = plant_domain(
-                    prepared[i], gm, rng_h, max_len=min(150, gm.M))
-        return prepared
-
+    runner = pipelined_map(
+        _bench_host_stage, pipeline.search,
+        [genome] * (PIPELINE_GENOMES + 1),
+        processes=True,
+        initializer=_bench_worker_init, initargs=(N_PROFILES,),
+    )
+    next(runner)  # absorbs the worker's one-time initializer cost
     t0 = time.perf_counter()
-    for out in pipelined_map(
-        host_stage, pipeline.search, [record] * PIPELINE_GENOMES
-    ):
+    for out in runner:
         assert len(out) > 0
     t_pipelined = (time.perf_counter() - t0) / PIPELINE_GENOMES
 

@@ -1509,14 +1509,18 @@ class StreamDomains:
             by_bucket[b] = members
             R0 = len(members)
             Lmax = max(len(sequences[s]) for s, _ in members)
-            Lps = min(_pow2(Lmax, _LC * 4), _MAX_LPS)
-            if pack.Lp < Lps:  # caller passed a narrower pad_to/pack
-                Lps = max(_LC, (pack.Lp // _LC) * _LC)
-            nLc = Lps // _LC
             # wide buckets take narrower cells: the [Lc, C, Mp]
             # emission-stream block must fit VMEM (double buffered;
-            # 32 x C x Mp f32 x 2 + (C, Mp) state -> C*Mp <= 32k)
+            # Lc x C x Mp f32 x 2 + (C, Mp) state); narrow buckets
+            # (capped at C=_C_POST sublanes) spend the leftover VMEM
+            # on LONGER residue chunks instead — per-grid-step fixed
+            # cost, not DP math, dominates these thin-block kernels
             C = min(_C_POST, max(8, 32768 // bk.Mp))
+            Lc = _LC * max(1, min(4, 32768 // (C * bk.Mp)))
+            Lps = min(_pow2(Lmax, Lc), _MAX_LPS)
+            if pack.Lp < Lps:  # caller passed a narrower pad_to/pack
+                Lps = max(Lc, (pack.Lp // Lc) * Lc)
+            nLc = Lps // Lc
             cells = _pow2((R0 + C - 1) // C)
             R = cells * C
             rows = numpy.zeros(R, dtype=numpy.int32)
@@ -1529,14 +1533,14 @@ class StreamDomains:
             lens_np = numpy.zeros(R, dtype=numpy.float32)
             lens_np[:R0] = [len(sequences[s]) for s, _ in members]
             handles = self._jit_posterior(
-                bk.Mp, C, _LC, nLc, cells, interp, bk.nd
+                bk.Mp, C, Lc, nLc, cells, interp, bk.nd
             )(
                 pack.xs, pack.loops_exp, pack.moves_exp,
                 bk.e_odds, bk.trans9,
                 jnp.asarray(rows), jnp.asarray(prof),
                 jnp.asarray(lens_np.reshape(cells, C)),
             )
-            posted[b] = (handles, R, nLc)
+            posted[b] = (handles, R, nLc, Lc)
 
         TIMER.records.append(
             ("dom.post-dispatch", _time.perf_counter() - t_ph))
@@ -1545,7 +1549,7 @@ class StreamDomains:
         aligned: Dict[int, tuple] = {}
         for b, members in sorted(by_bucket.items()):
             _idx, bk = self.buckets[b]
-            (score_d, env_i_d, env_j_d, over_d), R, nLc = posted[b]
+            (score_d, env_i_d, env_j_d, over_d), R, nLc, Lc = posted[b]
             score = numpy.asarray(score_d).reshape(R)
             env_i = numpy.asarray(env_i_d).reshape(R, -1)
             env_j = numpy.asarray(env_j_d).reshape(R, -1)
@@ -1575,8 +1579,11 @@ class StreamDomains:
                            key=lambda e: len(sequences[env_rows[e][0]]))
             NE = len(env_rows)
             # the align pass streams f32 emissions AND two bf16 state
-            # streams per block -> tighter budget than the posterior
+            # streams per block -> tighter budget than the posterior;
+            # narrow buckets spend the VMEM leftover on longer chunks
             Ca = min(_C_ALIGN, max(8, 16384 // bk.Mp))
+            Lc_a = _LC * max(1, min(4, 16384 // (Ca * bk.Mp)))
+            nLc_a = (nLc * Lc) // Lc_a
             cells_a = _pow2((NE + Ca - 1) // Ca)
             Ra = cells_a * Ca
             rows_a = numpy.zeros(Ra, dtype=numpy.int32)
@@ -1594,7 +1601,7 @@ class StreamDomains:
                 tot[slot] = sc
                 lens_a[slot] = len(sequences[s])
             outs = self._jit_align(
-                bk.Mp, Ca, _LC, nLc, cells_a, interp, bk.nd
+                bk.Mp, Ca, Lc_a, nLc_a, cells_a, interp, bk.nd
             )(
                 pack.xs, pack.loops_exp, pack.moves_exp,
                 bk.e_odds, bk.trans9,

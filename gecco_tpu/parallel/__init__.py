@@ -31,25 +31,48 @@ __all__ = [
 ]
 
 
-def pipelined_map(host_fn, device_fn, items):
+def pipelined_map(host_fn, device_fn, items, processes: bool = False,
+                  initializer=None, initargs=()):
     """Two-stage host/device software pipeline over a work list.
 
     Yields ``device_fn(host_fn(item))`` per item, with the NEXT item's
-    ``host_fn`` running in a worker thread while the device processes
-    the current one.  This is how a batch ``run`` keeps the chip busy:
-    gene calling (host + C++ core, GIL released) of genome *k+1*
-    overlaps the annotation search of genome *k*, so steady-state
-    throughput is set by ``max(host, device)`` instead of their sum.
-    The reference's analog is its per-contig ``ThreadPool`` inside ONE
-    stage (``/root/reference/gecco/orf.py:95``); this pipelines ACROSS
+    ``host_fn`` running in a worker while the device processes the
+    current one.  This is how a batch ``run`` keeps the chip busy:
+    gene calling of genome *k+1* overlaps the annotation search of
+    genome *k*, so steady-state throughput is set by
+    ``max(host, device)`` instead of their sum.  The reference's analog
+    is its per-contig ``ThreadPool`` inside ONE stage
+    (``/root/reference/gecco/orf.py:95``); this pipelines ACROSS
     stages, which only pays off with an accelerator to keep fed.
-    """
-    from concurrent.futures import ThreadPoolExecutor
 
+    ``processes=True`` runs ``host_fn`` in a spawned worker PROCESS
+    instead of a thread: the device path's own host-side work (batch
+    packing, result assembly) holds the GIL for most of a search, so a
+    thread-based overlap degrades to the serial sum — a subprocess
+    overlaps fully.  ``host_fn``/``items`` must then be picklable;
+    ``initializer(*initargs)`` runs once in the worker (build finders,
+    banks, …) and must NOT touch the accelerator.
+    """
     items = list(items)
     if not items:
         return
-    with ThreadPoolExecutor(max_workers=1) as pool:
+    if processes:
+        import multiprocessing
+
+        from concurrent.futures import ProcessPoolExecutor
+
+        ctx = multiprocessing.get_context("spawn")
+        pool = ProcessPoolExecutor(
+            max_workers=1, mp_context=ctx,
+            initializer=initializer, initargs=initargs,
+        )
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        if initializer is not None:
+            initializer(*initargs)
+    with pool:
         future = pool.submit(host_fn, items[0])
         for k in range(len(items)):
             prepared = future.result()

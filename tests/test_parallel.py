@@ -68,6 +68,32 @@ def test_pipeline_multi_device_matches_single():
     assert multi_pipeline.stage_counts["reported"] == len(multi)
 
 
+def _pm_init(base):
+    global _PM_BASE
+    _PM_BASE = base
+
+
+def _pm_host(item):
+    return item + _PM_BASE
+
+
+def test_pipelined_map_threads_and_processes():
+    """pipelined_map preserves order and results in both worker modes
+    (thread for GIL-releasing host stages, spawned process for
+    GIL-holding ones)."""
+    from gecco_tpu.parallel import pipelined_map
+
+    expected = [11, 12, 13]
+    got = list(pipelined_map(_pm_host, lambda v: v * 2, [1, 2, 3],
+                             initializer=_pm_init, initargs=(10,)))
+    assert got == [2 * v for v in expected]
+    got = list(pipelined_map(_pm_host, lambda v: v * 2, [1, 2, 3],
+                             processes=True,
+                             initializer=_pm_init, initargs=(10,)))
+    assert got == [2 * v for v in expected]
+    assert list(pipelined_map(_pm_host, lambda v: v, [])) == []
+
+
 def test_make_mesh_shapes():
     mesh = make_mesh(8, model_axis=2)
     assert mesh.devices.shape == (4, 2)
