@@ -1960,15 +1960,22 @@ class PairBucketed:
     global profile indices per sequence.
     """
 
-    def __init__(self, bank: ProfileBank, lane: int = 128, viterbi: bool = False):
+    def __init__(self, bank: ProfileBank, lane: int = 128, viterbi: bool = False,
+                 min_width: int = 256):
         self.bank = bank
         self.buckets = []
         caps: Dict[int, List[int]] = {}
         for i, m in enumerate(bank.lengths):
             # exclusive cap (M < cap), as in Bucketed: no lane-0 masking;
-            # power-of-two width for the delete-chain doubling scan
+            # power-of-two width for the delete-chain doubling scan.
+            # The narrowest bucket starts at ``min_width``: the pair
+            # kernels' padded-cell rate scales with the C (survivor)
+            # block dimension, so folding the 128-lane models into the
+            # 256 bucket doubles C for the short-model majority at a
+            # few percent extra padded lanes — a measured net win.
             cap = _round_up(max(8, int(m) + 1), lane)
-            caps.setdefault(1 << (cap - 1).bit_length(), []).append(i)
+            cap = max(min_width, 1 << (cap - 1).bit_length())
+            caps.setdefault(cap, []).append(i)
         # global index -> (bucket number, local row)
         self.local = numpy.zeros((bank.P, 2), dtype=numpy.int32)
         for b, cap in enumerate(sorted(caps)):
@@ -2031,7 +2038,9 @@ class PairBucketed:
             # narrow (majority) buckets take WIDE chunks — at C=64 the
             # [C, 128] block is a single vreg row and the kernel is all
             # per-step overhead
-            chunk_b = _vmem_chunk(chunk, kern.bank.Mp, 32768)
+            # 16k-cell budget: C=128 x Mp=256 blocks overflow the 16 MB
+            # scoped VMEM by a hair (measured), C=64 x 256 fits
+            chunk_b = _vmem_chunk(chunk, kern.bank.Mp, 16384)
             rows: List[Tuple[int, "numpy.ndarray"]] = []
             for s, profs in enumerate(surv):
                 mine = profs[bucket_of[profs] == b]
