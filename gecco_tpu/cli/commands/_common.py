@@ -435,10 +435,15 @@ def annotate_domains(
     logger, genes: List, *,
     hmm_paths: List, default_hmms: Iterable, whitelist=None,
     disentangle: bool = False, jobs: int = 0, bit_cutoffs=None,
-    backend: str = "auto",
+    backend: str = "auto", devices=None,
     e_filter=None, p_filter=None,
 ) -> List:
     from ...hmm import ProfileHMMAnnotator
+
+    if devices is not None and devices != "all":
+        import jax
+
+        devices = jax.local_devices()[: int(devices)]
 
     logger.info("Running", "profile-HMM domain annotation", level=1)
     hmms = list(custom_hmms(hmm_paths) if hmm_paths else default_hmms)
@@ -449,8 +454,9 @@ def annotate_domains(
         )
     for hmm in hmms:
         logger.info("Starting", f"annotation with {hmm.id} v{hmm.version}", level=2)
-        genes = ProfileHMMAnnotator(hmm, jobs, whitelist, backend=backend).run(
-            genes, bit_cutoffs=bit_cutoffs)
+        genes = ProfileHMMAnnotator(
+            hmm, jobs, whitelist, backend=backend, devices=devices,
+        ).run(genes, bit_cutoffs=bit_cutoffs)
         logger.success("Finished", f"annotation with {hmm.id} v{hmm.version}", level=2)
 
     count = sum(len(gene.protein.domains) for gene in genes)

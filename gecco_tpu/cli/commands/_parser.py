@@ -98,6 +98,10 @@ def group_annotation(parser, defaults: Dict[str, object]) -> None:
                        default=defaults.get("--backend", "auto"),
                        help="Device engine for the profile-HMM search "
                             "(auto: Pallas kernels on TPU, XLA elsewhere).")
+    group.add_argument("--devices", default=defaults.get("--devices", None),
+                       help="Shard the search batch over local devices: "
+                            "'all', or a device count (data parallelism "
+                            "within one process; default: one device).")
 
 
 def group_filtering(parser, defaults: Dict[str, object]) -> None:

@@ -81,10 +81,12 @@ class ProfileHMMAnnotator(DomainAnnotator):
         whitelist: Optional[Container[str]] = None,
         use_accelerator: bool = True,
         backend: str = "auto",
+        devices=None,
     ) -> None:
         super().__init__(hmm, cpus=cpus, whitelist=whitelist)
         self.use_accelerator = use_accelerator
         self.backend = backend
+        self.devices = devices
         self._profiles: Optional[List[SearchProfile]] = None
 
     def _load_profiles(self) -> List[SearchProfile]:
@@ -113,6 +115,7 @@ class ProfileHMMAnnotator(DomainAnnotator):
             bit_cutoffs=bit_cutoffs,
             use_accelerator=self.use_accelerator,
             backend=self.backend,
+            devices=self.devices,
         )
         interpro = InterPro.load()
         for hit in pipeline.search(sequences):

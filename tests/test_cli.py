@@ -155,6 +155,24 @@ def test_run_fasta_end_to_end(tmp_path):
     assert (tmp_path / "BGC0001737.clusters.tsv").exists()
 
 
+def test_annotate_devices_flag_matches_single(tmp_path):
+    """`annotate --devices N` (single-process data parallelism over
+    local devices) writes the same feature table as one device."""
+    args = [
+        "annotate",
+        "-g", os.path.join(ORF_DATA, "BGC0001737.fna"),
+        "--hmm", MINIPFAM, "--force-tsv",
+    ]
+    single_dir = tmp_path / "single"
+    multi_dir = tmp_path / "multi"
+    assert main(args + ["-o", str(single_dir)], io.StringIO()) == 0
+    assert main(args + ["-o", str(multi_dir), "--devices", "4"],
+                io.StringIO()) == 0
+    single = (single_dir / "BGC0001737.features.tsv").read_bytes()
+    multi = (multi_dir / "BGC0001737.features.tsv").read_bytes()
+    assert single == multi and len(single.splitlines()) > 1
+
+
 def test_run_detects_planted_cluster(tmp_path):
     """`run` on a synthetic genome with a planted multi-gene BGC finds
     EXACTLY one cluster with the right bounds (the reference's own run
