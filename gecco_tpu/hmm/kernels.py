@@ -1961,18 +1961,16 @@ class PairBucketed:
     """
 
     def __init__(self, bank: ProfileBank, lane: int = 128, viterbi: bool = False,
-                 min_width: int = 256):
+                 min_width: int = 128):
         self.bank = bank
         self.buckets = []
         caps: Dict[int, List[int]] = {}
         for i, m in enumerate(bank.lengths):
             # exclusive cap (M < cap), as in Bucketed: no lane-0 masking;
             # power-of-two width for the delete-chain doubling scan.
-            # The narrowest bucket starts at ``min_width``: the pair
-            # kernels' padded-cell rate scales with the C (survivor)
-            # block dimension, so folding the 128-lane models into the
-            # 256 bucket doubles C for the short-model majority at a
-            # few percent extra padded lanes — a measured net win.
+            # (Merging the 128-lane bucket upward to widen survivor rows
+            # was tried and measured NET SLOWER on the full bench: the
+            # extra padded lanes outweigh the wider-block rate gain.)
             cap = _round_up(max(8, int(m) + 1), lane)
             cap = max(min_width, 1 << (cap - 1).bit_length())
             caps.setdefault(cap, []).append(i)
