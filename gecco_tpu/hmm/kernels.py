@@ -935,13 +935,171 @@ def _pallas_pair_fwd(Mp: int, Lp: int, C: int, masked: bool, interpret: bool,
 
 
 @functools.lru_cache(maxsize=None)
+def _pallas_pair_fwd_ilp(Mp: int, Lp: int, C: int, masked: bool, interpret: bool,
+                         nd: Optional[int] = None, viterbi: bool = False,
+                         unroll: int = 2):
+    """Pair Forward/Viterbi with TWO independent rows per grid cell.
+
+    The single-row kernel's padded-cell rate scales near-linearly with
+    the block width (measured 11.5 Gpad/s at C=32 vs 20.6 at C=64):
+    each DP step is one serial dependency chain, so thin blocks leave
+    the VPU pipeline idle between steps.  Interleaving two UNRELATED
+    rows' recurrences in one residue loop fills those stalls — same
+    vector work, double the instruction-level parallelism.  Rows may
+    have different lengths; a finished row's carry freezes.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_doubling = nd if nd is not None else int(math.log2(Mp))
+    assert 1 << int(math.log2(Mp)) == Mp, "Mp must be a power of two"
+    add = jnp.maximum if viterbi else (lambda a, b: a + b)
+
+    def kernel(xs_ref, starts_ref, ends_ref, loops_ref, moves_ref,
+               e_ref, tmm_ref, tim_ref, tdm_ref, tmi_ref, tii_ref,
+               tmd_ref, tdd_ref, bm_ref, out_ref):
+        j = pl.program_id(1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (C, Mp), dimension=1)
+        first_lane = lane == 0
+
+        def shift1(a):
+            rolled = pltpu.roll(a, shift=1, axis=1)
+            if masked:
+                return jnp.where(first_lane, 0.0, rolled)
+            return rolled
+
+        def make_row(r):
+            trans = tuple(t[0, r] for t in (
+                tmm_ref, tim_ref, tdm_ref, tmi_ref, tii_ref,
+                tmd_ref, tdd_ref, bm_ref,
+            ))
+            tdd_shifted = shift1(trans[6])
+            row = 2 * j + r
+            start = starts_ref[0, 0, row]
+            end = ends_ref[0, 0, row]
+            loop = loops_ref[0, 0, row]
+            move = moves_ref[0, 0, row]
+            return trans, tdd_shifted, row, start, end, loop, move, r
+
+        rows = (make_row(0), make_row(1))
+        n_res = jnp.maximum(rows[0][4] - rows[0][3], rows[1][4] - rows[1][3])
+
+        def dchain(m_new, tmd, tdd_shifted):
+            a = tdd_shifted
+            b = shift1(m_new * tmd)
+            shift = 1
+            for _ in range(n_doubling):
+                rolled_a = pltpu.roll(a, shift=shift, axis=1)
+                rolled_b = pltpu.roll(b, shift=shift, axis=1)
+                mask = lane >= shift
+                prev_a = jnp.where(mask, rolled_a, 1.0)
+                prev_b = jnp.where(mask, rolled_b, 0.0)
+                b = add(prev_b * a, b)
+                a = prev_a * a
+                shift *= 2
+            return b
+
+        def step_row(k, carry, row_data):
+            (tmm, tim, tdm, tmi, tii, tmd, tdd, bm), tdd_shifted, \
+                row, start, end, loop, move, r = row_data
+            M, I, D, N, B, J, Cc, logscale = carry
+            alive = k < end - start
+            xi = xs_ref[0, row, jnp.minimum(start + k, Lp - 1)]
+            e = e_ref[xi, 0, r]                 # [C, Mp]
+            stay = shift1(add(add(M * tmm, I * tim), D * tdm))
+            Mn = e * add(stay, B * bm)
+            In = add(M * tmi, I * tii)
+            Dn = dchain(Mn, tmd, tdd_shifted)
+            if viterbi:
+                E = jnp.max(jnp.maximum(Mn, Dn), axis=1, keepdims=True)
+            else:
+                E = jnp.sum(Mn + Dn, axis=1, keepdims=True)
+            Jn = add(J * loop, E * 0.5)
+            Cn = add(Cc * loop, E * 0.5)
+            Nn = N * loop
+            Bn = add(Nn, Jn) * move
+            total = E + Bn + Nn + Cn + 1e-30
+            inv = 1.0 / total
+            return (jnp.where(alive, Mn * inv, M),
+                    jnp.where(alive, In * inv, I),
+                    jnp.where(alive, Dn * inv, D),
+                    jnp.where(alive, Nn * inv, N),
+                    jnp.where(alive, Bn * inv, B),
+                    jnp.where(alive, Jn * inv, J),
+                    jnp.where(alive, Cn * inv, Cc),
+                    jnp.where(alive, logscale + jnp.log(total), logscale))
+
+        zeros = jnp.zeros((C, Mp), jnp.float32)
+        z1 = jnp.zeros((C, 1), jnp.float32)
+
+        def init(row_data):
+            move = row_data[6]
+            return (zeros, zeros, zeros, z1 + 1.0, z1 + move, z1, z1, z1)
+
+        def step(k, carries):
+            a, b = carries
+            return (step_row(k, a, rows[0]), step_row(k, b, rows[1]))
+
+        def block(b, carries):
+            for u in range(unroll):
+                carries = step(b * unroll + u, carries)
+            return carries
+
+        carries = (init(rows[0]), init(rows[1]))
+        carries = jax.lax.fori_loop(0, n_res // unroll, block, carries)
+        carries = jax.lax.fori_loop(
+            (n_res // unroll) * unroll, n_res, step, carries)
+        for r in range(2):
+            C_final, logscale = carries[r][6], carries[r][7]
+            move = rows[r][6]
+            out_ref[0, 2 * j + r, :] = (
+                jnp.log(C_final * move + 1e-38) + logscale)[:, 0]
+
+    def run(xs, starts, ends, loops, moves, idx, e_odds, *trans):
+        St = xs.shape[0]
+        S = St * 8
+        e_g = e_odds[:, idx, :]                      # [21, S, C, Mp]
+        # emission rows indexed [xi, subrow]: put the 2-row axis minor
+        e_g = e_g.reshape(21, St * 4, 2, C, Mp)
+        trans_g = [t[idx].reshape(St * 4, 2, C, Mp) for t in trans]
+        trans_specs = [
+            pl.BlockSpec((1, 2, C, Mp), lambda t, j: (t * 4 + j, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(8)
+        ]
+        svec = pl.BlockSpec((1, 1, 8), lambda t, j: (t, 0, 0), memory_space=pltpu.SMEM)
+        out = pl.pallas_call(
+            kernel,
+            grid=(St, 4),
+            in_specs=[
+                pl.BlockSpec((1, 8, Lp), lambda t, j: (t, 0, 0), memory_space=pltpu.SMEM),
+                svec, svec, svec, svec,
+                pl.BlockSpec((21, 1, 2, C, Mp), lambda t, j: (0, t * 4 + j, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                *trans_specs,
+            ],
+            out_specs=pl.BlockSpec((1, 8, C), lambda t, j: (t, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((St, 8, C), jnp.float32),
+            interpret=interpret,
+        )(xs, starts, ends, loops, moves, e_g, *trans_g)
+        return out.reshape(S, C)
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=None)
 def _pallas_pair_fwd_packed(Mp: int, Lp: int, C: int, masked: bool,
                             interpret: bool, with_ranges: bool,
-                            nd: Optional[int] = None, viterbi: bool = False):
+                            nd: Optional[int] = None, viterbi: bool = False,
+                            ilp: bool = True):
     """Packed-batch entry: gather sequence rows on device, then DP."""
     import jax
 
-    inner = _pallas_pair_fwd(Mp, Lp, C, masked, interpret, nd, viterbi)
+    inner = (_pallas_pair_fwd_ilp if ilp else _pallas_pair_fwd)(
+        Mp, Lp, C, masked, interpret, nd, viterbi)
 
     def run(xs_all, lens_all, loops_all, moves_all, rows, valid, idx,
             starts, ends, e_odds, *trans):
