@@ -668,8 +668,11 @@ class Bucketed:
                 pack.counts, lr,
             )
             collected.append((idx, sub.P, W, packed))
-        for idx, subP, W, packed in collected:
-            words = numpy.ascontiguousarray(numpy.asarray(packed))
+        import jax
+
+        fetched = jax.device_get([packed for *_m, packed in collected])
+        for (idx, subP, W, _h), words in zip(collected, fetched):
+            words = numpy.ascontiguousarray(words)
             bits = numpy.unpackbits(words.view(numpy.uint8), bitorder="little")
             out[:, idx] = bits.reshape(pack.n, W * 32)[: pack.S, : subP].astype(bool)
         return out
@@ -2085,12 +2088,10 @@ class PairAlignKernel:
             jnp.asarray(idx),
             self.e_odds, *self.trans,
         )
-        envsc = numpy.asarray(envsc)
-        logn2 = numpy.asarray(logn2)
-        tf = numpy.asarray(tf)
-        tt = numpy.asarray(tt)
-        hf = numpy.asarray(hf)
-        ht = numpy.asarray(ht)
+        import jax
+
+        envsc, logn2, tf, tt, hf, ht = jax.device_get(
+            (envsc, logn2, tf, tt, hf, ht))
         place = {}
         for c, members in enumerate(cells):
             for r, ne in enumerate(members):
@@ -2242,8 +2243,15 @@ class PairBucketed:
         TIMER.records.append(
             ("pair.pack+dispatch", time.perf_counter() - t_pack))
         t_fetch = time.perf_counter()
-        for grows, scores in pending:
-            scores = numpy.asarray(scores)
+        fetched = []
+        if pending:
+            # ONE host round trip for every dispatched group: each
+            # individual fetch over a remote-attached device pays
+            # ~25 ms of tunnel latency
+            import jax
+
+            fetched = jax.device_get([scores for _g, scores in pending])
+        for (grows, _h), scores in zip(pending, fetched):
             for r, (s, mine) in enumerate(grows):
                 out_s.append(numpy.full(len(mine), s, dtype=numpy.int64))
                 out_p.append(mine)

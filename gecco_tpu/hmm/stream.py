@@ -1333,12 +1333,17 @@ class StreamScores:
         TIMER.records.append(
             ("stream.pack+dispatch", time.perf_counter() - t_pack))
         t_fetch = time.perf_counter()
-        for flat, n_cells, C, handle in pending:
-            scores = numpy.asarray(handle).reshape(n_cells * C)
-            arr = numpy.asarray(flat, dtype=numpy.int64)
-            out_s.append(arr[:, 0])
-            out_p.append(arr[:, 1])
-            out_v.append(scores[: len(flat)].astype(numpy.float32))
+        if pending:
+            import jax
+
+            # one host round trip for all dispatched groups
+            fetched = jax.device_get([h for *_m, h in pending])
+            for (flat, n_cells, C, _h), scores in zip(pending, fetched):
+                scores = scores.reshape(n_cells * C)
+                arr = numpy.asarray(flat, dtype=numpy.int64)
+                out_s.append(arr[:, 0])
+                out_p.append(arr[:, 1])
+                out_v.append(scores[: len(flat)].astype(numpy.float32))
         TIMER.records.append(("stream.fetch", time.perf_counter() - t_fetch))
 
         if long_pairs:
@@ -1545,15 +1550,23 @@ class StreamDomains:
         TIMER.records.append(
             ("dom.post-dispatch", _time.perf_counter() - t_ph))
         t_ph = _time.perf_counter()
-        # phase 2: per bucket, fetch envelopes and dispatch alignment
+        # phase 2: fetch EVERY bucket's envelopes in one host round
+        # trip, then assemble + dispatch the alignment passes (each
+        # per-array fetch over a remote device costs ~25 ms of tunnel
+        # latency — per-bucket fetching made the device 90% idle here)
+        import jax
+
+        fetched_post = dict(zip(sorted(posted), jax.device_get(
+            [posted[b][0] for b in sorted(posted)])))
         aligned: Dict[int, tuple] = {}
         for b, members in sorted(by_bucket.items()):
             _idx, bk = self.buckets[b]
-            (score_d, env_i_d, env_j_d, over_d), R, nLc, Lc = posted[b]
-            score = numpy.asarray(score_d).reshape(R)
-            env_i = numpy.asarray(env_i_d).reshape(R, -1)
-            env_j = numpy.asarray(env_j_d).reshape(R, -1)
-            over = numpy.asarray(over_d).reshape(R)
+            _handles, R, nLc, Lc = posted[b]
+            score_d, env_i_d, env_j_d, over_d = fetched_post[b]
+            score = score_d.reshape(R)
+            env_i = env_i_d.reshape(R, -1)
+            env_j = env_j_d.reshape(R, -1)
+            over = over_d.reshape(R)
 
             # assemble envelopes; overflow -> exact host fallback
             env_rows: List[Tuple[int, int, int, int, float]] = []
@@ -1616,14 +1629,17 @@ class StreamDomains:
         TIMER.records.append(
             ("dom.env+align-dispatch", _time.perf_counter() - t_ph))
         t_ph = _time.perf_counter()
-        # phase 3: fetch alignment results and assemble domain hits
-        for b, (outs, Ra, order, env_rows, env_pair) in sorted(aligned.items()):
-            envsc = numpy.asarray(outs[0]).reshape(Ra)
-            logn2 = numpy.asarray(outs[1]).reshape(Ra, 24)
-            tfv = numpy.asarray(outs[2]).reshape(Ra)
-            ttv = numpy.asarray(outs[3]).reshape(Ra)
-            hfv = numpy.asarray(outs[4]).reshape(Ra)
-            htv = numpy.asarray(outs[5]).reshape(Ra)
+        # phase 3: ONE round trip for every bucket's alignment results
+        fetched_align = dict(zip(sorted(aligned), jax.device_get(
+            [aligned[b][0] for b in sorted(aligned)])))
+        for b, (_outs, Ra, order, env_rows, env_pair) in sorted(aligned.items()):
+            outs = fetched_align[b]
+            envsc = outs[0].reshape(Ra)
+            logn2 = outs[1].reshape(Ra, 24)
+            tfv = outs[2].reshape(Ra)
+            ttv = outs[3].reshape(Ra)
+            hfv = outs[4].reshape(Ra)
+            htv = outs[5].reshape(Ra)
 
             class_cum: Dict[int, "numpy.ndarray"] = {}
             for slot, e in enumerate(order):

@@ -59,3 +59,30 @@ for C in (32, 64):
             pack.moves_exp[rows].reshape(St, 1, 8), idx, e_odds, *trans)
     d = float(jnp.max(jnp.abs(a(*args) - b(*args))))
     print(f"C={C} max|1row-2row| = {d}", flush=True)
+
+# unroll sweep on the 2row kernel
+for C in (32, 64):
+    R = 1024 if C == 32 else 512
+    rng = numpy.random.default_rng(0)
+    rows = jnp.asarray(rng.integers(0, S, R).astype(numpy.int32))
+    idx = jnp.asarray(rng.integers(0, bank.P, (R, C)).astype(numpy.int32))
+    starts = jnp.asarray(numpy.zeros(R, numpy.int32))
+    for unroll in (4,):
+        inner = K._pallas_pair_fwd_ilp(Mp, 512, C, False, False, nd, True, unroll)
+        def run():
+            St = R // 8
+            xs = pack.xs[rows].reshape(St, 8, 512)
+            e0 = pack.lens[rows].reshape(St, 1, 8)
+            s0 = starts.reshape(St, 1, 8)
+            loops = pack.loops_exp[rows].reshape(St, 1, 8)
+            moves = pack.moves_exp[rows].reshape(St, 1, 8)
+            return inner(xs, s0, e0, loops, moves, idx, e_odds, *trans)
+        run_j = jax.jit(run)
+        out = run_j(); out.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = run_j(); out.block_until_ready()
+        dt = (time.perf_counter()-t0)/3
+        Ls = numpy.asarray(pack.lens)[numpy.asarray(rows)]
+        padded = float((Ls.astype(numpy.int64) * C * Mp).sum())
+        print(f"C={C} 2row unroll={unroll}: {dt*1000:.0f} ms -> {padded/1e9/dt:.1f} Gpad/s", flush=True)
