@@ -940,7 +940,7 @@ def _pallas_pair_fwd(Mp: int, Lp: int, C: int, masked: bool, interpret: bool,
 @functools.lru_cache(maxsize=None)
 def _pallas_pair_fwd_ilp(Mp: int, Lp: int, C: int, masked: bool, interpret: bool,
                          nd: Optional[int] = None, viterbi: bool = False,
-                         unroll: int = 2):
+                         unroll: int = 4):
     """Pair Forward/Viterbi with TWO independent rows per grid cell.
 
     The single-row kernel's padded-cell rate scales near-linearly with
