@@ -1211,10 +1211,13 @@ class PairForwardKernel:
         else:
             starts = numpy.zeros(n, dtype=numpy.int32)
             ends = starts
+        # the 2-row ILP kernel doubles the per-cell emission/transition
+        # VMEM footprint; wide cells fall back to the single-row kernel
+        # (C x Mp = 16k is the measured fit boundary at 16 MB scoped)
         fn = _pallas_pair_fwd_packed(
             self.bank.Mp, pack.Lp, C, self.masked,
             _auto_interpret(interpret), ranges is not None, self.nd,
-            self.viterbi,
+            self.viterbi, ilp=C * self.bank.Mp <= 16384,
         )
         out = fn(
             pack.xs, pack.lens, pack.loops_exp, pack.moves_exp,
