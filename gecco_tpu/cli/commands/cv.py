@@ -87,6 +87,13 @@ def _report_fold(logger, fold, truth, predicted):
 
     probas = [gene.average_probability for gene in predicted]
     labels = [(gene.average_probability or 0) > 0.5 for gene in truth]
+    if not any(labels) or all(labels):
+        # a degenerate fold (e.g. LOTO leaving a test side with no
+        # labelled cluster genes) has no defined AUROC/AUPR — report
+        # and let the overall metrics cover it instead of crashing
+        logger.warn(
+            f"Fold {fold} has single-class labels; skipping its metrics")
+        return None, None
     aupr = average_precision_score(labels, probas)
     auroc = roc_auc_score(labels, probas)
     if fold:
