@@ -940,8 +940,8 @@ def _pallas_pair_fwd(Mp: int, Lp: int, C: int, masked: bool, interpret: bool,
 @functools.lru_cache(maxsize=None)
 def _pallas_pair_fwd_ilp(Mp: int, Lp: int, C: int, masked: bool, interpret: bool,
                          nd: Optional[int] = None, viterbi: bool = False,
-                         unroll: int = 4):
-    """Pair Forward/Viterbi with TWO independent rows per grid cell.
+                         unroll: int = 4, rows_per_cell: int = 2):
+    """Pair Forward/Viterbi with 2-4 independent rows per grid cell.
 
     The single-row kernel's padded-cell rate scales near-linearly with
     the block width (measured 11.5 Gpad/s at C=32 vs 20.6 at C=64):
@@ -958,6 +958,8 @@ def _pallas_pair_fwd_ilp(Mp: int, Lp: int, C: int, masked: bool, interpret: bool
 
     n_doubling = nd if nd is not None else int(math.log2(Mp))
     assert 1 << int(math.log2(Mp)) == Mp, "Mp must be a power of two"
+    assert rows_per_cell in (2, 4) and 8 % rows_per_cell == 0
+    R2 = rows_per_cell
     add = jnp.maximum if viterbi else (lambda a, b: a + b)
 
     def kernel(xs_ref, starts_ref, ends_ref, loops_ref, moves_ref,
@@ -979,15 +981,17 @@ def _pallas_pair_fwd_ilp(Mp: int, Lp: int, C: int, masked: bool, interpret: bool
                 tmd_ref, tdd_ref, bm_ref,
             ))
             tdd_shifted = shift1(trans[6])
-            row = 2 * j + r
+            row = R2 * j + r
             start = starts_ref[0, 0, row]
             end = ends_ref[0, 0, row]
             loop = loops_ref[0, 0, row]
             move = moves_ref[0, 0, row]
             return trans, tdd_shifted, row, start, end, loop, move, r
 
-        rows = (make_row(0), make_row(1))
-        n_res = jnp.maximum(rows[0][4] - rows[0][3], rows[1][4] - rows[1][3])
+        rows = tuple(make_row(r) for r in range(R2))
+        n_res = rows[0][4] - rows[0][3]
+        for rd in rows[1:]:
+            n_res = jnp.maximum(n_res, rd[4] - rd[3])
 
         def dchain(m_new, tmd, tdd_shifted):
             a = tdd_shifted
@@ -1042,44 +1046,45 @@ def _pallas_pair_fwd_ilp(Mp: int, Lp: int, C: int, masked: bool, interpret: bool
             return (zeros, zeros, zeros, z1 + 1.0, z1 + move, z1, z1, z1)
 
         def step(k, carries):
-            a, b = carries
-            return (step_row(k, a, rows[0]), step_row(k, b, rows[1]))
+            return tuple(
+                step_row(k, c, rd) for c, rd in zip(carries, rows))
 
         def block(b, carries):
             for u in range(unroll):
                 carries = step(b * unroll + u, carries)
             return carries
 
-        carries = (init(rows[0]), init(rows[1]))
+        carries = tuple(init(rd) for rd in rows)
         carries = jax.lax.fori_loop(0, n_res // unroll, block, carries)
         carries = jax.lax.fori_loop(
             (n_res // unroll) * unroll, n_res, step, carries)
-        for r in range(2):
+        for r in range(R2):
             C_final, logscale = carries[r][6], carries[r][7]
             move = rows[r][6]
-            out_ref[0, 2 * j + r, :] = (
+            out_ref[0, R2 * j + r, :] = (
                 jnp.log(C_final * move + 1e-38) + logscale)[:, 0]
 
     def run(xs, starts, ends, loops, moves, idx, e_odds, *trans):
         St = xs.shape[0]
         S = St * 8
+        J = 8 // R2
         e_g = e_odds[:, idx, :]                      # [21, S, C, Mp]
-        # emission rows indexed [xi, subrow]: put the 2-row axis minor
-        e_g = e_g.reshape(21, St * 4, 2, C, Mp)
-        trans_g = [t[idx].reshape(St * 4, 2, C, Mp) for t in trans]
+        # emission rows indexed [xi, subrow]: put the row axis minor
+        e_g = e_g.reshape(21, St * J, R2, C, Mp)
+        trans_g = [t[idx].reshape(St * J, R2, C, Mp) for t in trans]
         trans_specs = [
-            pl.BlockSpec((1, 2, C, Mp), lambda t, j: (t * 4 + j, 0, 0, 0),
+            pl.BlockSpec((1, R2, C, Mp), lambda t, j: (t * J + j, 0, 0, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(8)
         ]
         svec = pl.BlockSpec((1, 1, 8), lambda t, j: (t, 0, 0), memory_space=pltpu.SMEM)
         out = pl.pallas_call(
             kernel,
-            grid=(St, 4),
+            grid=(St, J),
             in_specs=[
                 pl.BlockSpec((1, 8, Lp), lambda t, j: (t, 0, 0), memory_space=pltpu.SMEM),
                 svec, svec, svec, svec,
-                pl.BlockSpec((21, 1, 2, C, Mp), lambda t, j: (0, t * 4 + j, 0, 0, 0),
+                pl.BlockSpec((21, 1, R2, C, Mp), lambda t, j: (0, t * J + j, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 *trans_specs,
             ],
@@ -1097,12 +1102,16 @@ def _pallas_pair_fwd_ilp(Mp: int, Lp: int, C: int, masked: bool, interpret: bool
 def _pallas_pair_fwd_packed(Mp: int, Lp: int, C: int, masked: bool,
                             interpret: bool, with_ranges: bool,
                             nd: Optional[int] = None, viterbi: bool = False,
-                            ilp: bool = True):
+                            rows_per_cell: int = 2):
     """Packed-batch entry: gather sequence rows on device, then DP."""
     import jax
 
-    inner = (_pallas_pair_fwd_ilp if ilp else _pallas_pair_fwd)(
-        Mp, Lp, C, masked, interpret, nd, viterbi)
+    if rows_per_cell > 1:
+        inner = _pallas_pair_fwd_ilp(
+            Mp, Lp, C, masked, interpret, nd, viterbi,
+            rows_per_cell=rows_per_cell)
+    else:
+        inner = _pallas_pair_fwd(Mp, Lp, C, masked, interpret, nd, viterbi)
 
     def run(xs_all, lens_all, loops_all, moves_all, rows, valid, idx,
             starts, ends, e_odds, *trans):
@@ -1211,13 +1220,16 @@ class PairForwardKernel:
         else:
             starts = numpy.zeros(n, dtype=numpy.int32)
             ends = starts
-        # the 2-row ILP kernel doubles the per-cell emission/transition
-        # VMEM footprint; wide cells fall back to the single-row kernel
-        # (C x Mp = 16k is the measured fit boundary at 16 MB scoped)
+        # the multi-row ILP kernel multiplies the per-cell emission/
+        # transition VMEM footprint by rows_per_cell; rows x C x Mp =
+        # 32k is the measured fit boundary at 16 MB scoped VMEM, so
+        # narrow cells interleave 4 rows, mid cells 2, wide cells 1
+        cell = C * self.bank.Mp
+        rpc = 4 if cell <= 8192 else (2 if cell <= 16384 else 1)
         fn = _pallas_pair_fwd_packed(
             self.bank.Mp, pack.Lp, C, self.masked,
             _auto_interpret(interpret), ranges is not None, self.nd,
-            self.viterbi, ilp=C * self.bank.Mp <= 16384,
+            self.viterbi, rows_per_cell=rpc,
         )
         out = fn(
             pack.xs, pack.lens, pack.loops_exp, pack.moves_exp,
