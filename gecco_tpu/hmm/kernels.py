@@ -475,6 +475,128 @@ def _pallas_ssv(P: int, Mp: int, Lp: int, S: int, Pc: int, masked: bool,
 
 
 @functools.lru_cache(maxsize=None)
+def _pallas_ssv_pair(P: int, Mp: int, Lp: int, S: int, Pc: int,
+                     interpret: bool, unroll: int = 4):
+    """SSV filter processing TWO residues per lane-roll.
+
+    The plain kernel pays one ``pltpu.roll`` of the DP plane per
+    residue — a large share of its runtime (the permute port, unlike
+    the ALUs, moves one vreg per cycle).  Rewriting two steps jointly,
+
+        inner[k] = (e0[k-1] - loop) + max(A[k-2], cb0)     # = A_i[k-1]
+        A'  [k] = (e1[k]   - loop) + max(inner[k], cb0)    # = A_{i+1}[k]
+
+    needs ONE roll of ``A`` by two lanes plus a PRE-SHIFTED emission
+    table for ``e0[k-1]`` (built once per bank).  ``inner`` is
+    ``A_i`` shifted by one lane, which is fine to fold into ``G``
+    directly: the reported score is a lane-wise max, invariant under
+    lane shifts (pad lanes hold -1e30 on both tables).  Requires a
+    guaranteed trailing pad lane (``masked=False`` buckets — which the
+    power-of-two ``Bucketed`` construction always provides).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_chunks = P // Pc
+    assert unroll % 2 == 0
+
+    def kernel(xs_ref, lens_ref, loops_ref, moves_ref, e_ref, es_ref,
+               tbm_ref, out_ref):
+        def one_sequence(s, _):
+            L = lens_ref[0, 0, s]
+            loop = loops_ref[0, 0, s]
+            move = moves_ref[0, 0, s]
+            cb0 = jnp.broadcast_to(tbm_ref[:] + move, (Pc, Mp))
+
+            def pairstep(i, carry):
+                A, G = carry
+                xi0 = xs_ref[0, s, 2 * i]
+                xi1 = xs_ref[0, s, 2 * i + 1]
+                e0s = es_ref[xi0]               # e0 shifted by one lane
+                e1 = e_ref[xi1]
+                shifted2 = pltpu.roll(A, shift=2, axis=1)
+                inner = (e0s - loop) + jnp.maximum(shifted2, cb0)
+                An = (e1 - loop) + jnp.maximum(inner, cb0)
+                Gn = jnp.maximum(jnp.maximum(G, inner), An)
+                return (An, Gn)
+
+            def substep(i, carry):
+                A, G = carry
+                xi = xs_ref[0, s, i]
+                e = e_ref[xi]
+                shifted = pltpu.roll(A, shift=1, axis=1)
+                An = (e - loop) + jnp.maximum(shifted, cb0)
+                return (An, jnp.maximum(G, An))
+
+            def block(b, carry):
+                i0 = b * (unroll // 2)
+                for u in range(unroll // 2):
+                    carry = pairstep(i0 + u, carry)
+                return carry
+
+            M0 = jnp.full((Pc, Mp), NEG, jnp.float32)
+            n_pairs = L // 2
+            carry = jax.lax.fori_loop(
+                0, n_pairs // (unroll // 2), block, (M0, M0))
+            carry = jax.lax.fori_loop(
+                (n_pairs // (unroll // 2)) * (unroll // 2), n_pairs,
+                pairstep, carry)
+            carry = jax.lax.fori_loop(2 * n_pairs, L, substep, carry)
+            G = carry[1]
+            out_ref[s, :] = jnp.max(G, axis=1) + (
+                L.astype(jnp.float32) * loop + math.log(0.5) + move
+            )
+            return 0
+
+        jax.lax.fori_loop(0, S, one_sequence, 0)
+
+    def run(xs, lens, loops, moves, e_log, e_shift, tbm):
+        St = xs.shape[0]
+        return pl.pallas_call(
+            kernel,
+            grid=(n_chunks, St),
+            in_specs=[
+                pl.BlockSpec((1, S, Lp), lambda c, t: (t, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, S), lambda c, t: (t, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, S), lambda c, t: (t, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, S), lambda c, t: (t, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((21, Pc, Mp), lambda c, t: (0, c, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((21, Pc, Mp), lambda c, t: (0, c, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((Pc, 1), lambda c, t: (c, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((S, Pc), lambda c, t: (t, c), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((St * S, P), jnp.float32),
+            interpret=interpret,
+        )(xs, lens, loops, moves, e_log, e_shift, tbm)
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_ssv_pair_packed(P: int, Mp: int, Lp: int, S: int, Pc: int,
+                            interpret: bool, unroll: int = 4):
+    """Device-array entry to the paired SSV kernel."""
+    import jax
+
+    inner = _pallas_ssv_pair(P, Mp, Lp, S, Pc, interpret, unroll)
+
+    def run(xs, lens, loops, moves, e_log, e_shift, tbm):
+        n = xs.shape[0]
+        St = n // S
+        return inner(
+            xs.reshape(St, S, Lp),
+            lens.reshape(St, 1, S),
+            loops.reshape(St, 1, S),
+            moves.reshape(St, 1, S),
+            e_log, e_shift, tbm,
+        )
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=None)
 def _pallas_filter_packed(kind: str, P: int, Mp: int, Lp: int, S: int, Pc: int,
                           masked: bool, interpret: bool):
     """Device-array entry to a filter kernel: reshape rows on device."""
@@ -512,15 +634,18 @@ class SSVKernel:
     """
 
     def __init__(self, bank: ProfileBank, seq_tile: int = 8, profile_chunk: int = 512,
-                 unroll: int = 4):
+                 unroll: int = 8):
         import jax.numpy as jnp
 
         self.bank = bank
         self.seq_tile = seq_tile
         self.unroll = unroll
-        self.Pc = _legal_pc(bank.P, bank.Mp, profile_chunk, 65536)
-        self.P_pad = _round_up(bank.P, self.Pc)
         self.masked = bool((bank.lengths >= bank.Mp).any())
+        # the 2-residues-per-roll variant holds a second (pre-shifted)
+        # emission table in VMEM — halve the per-chunk cell budget
+        budget = 65536 if self.masked else 32768
+        self.Pc = _legal_pc(bank.P, bank.Mp, profile_chunk, budget)
+        self.P_pad = _round_up(bank.P, self.Pc)
         with numpy.errstate(divide="ignore"):
             e_log = numpy.full((21, self.P_pad, bank.Mp), NEG, dtype=numpy.float32)
             e_log[:, : bank.P] = numpy.where(
@@ -530,6 +655,10 @@ class SSVKernel:
             tbm[: bank.P, 0] = numpy.log(bank.msv_tbm)
         self.e_log = jnp.asarray(e_log)
         self.tbm = jnp.asarray(tbm)
+        if not self.masked:
+            e_shift = numpy.full_like(e_log, NEG)
+            e_shift[:, :, 1:] = e_log[:, :, :-1]
+            self.e_shift = jnp.asarray(e_shift)
 
     def __call__(self, sequences, pad_to=None, interpret=False):
         import jax.numpy as jnp
@@ -567,6 +696,13 @@ class SSVKernel:
 
     def scores_packed(self, pack: SeqPack, interpret: bool = False):
         """Device-resident scores ``[pack.n, P_pad]`` — no transfers."""
+        if not self.masked:
+            fn = _pallas_ssv_pair_packed(
+                self.P_pad, self.bank.Mp, pack.Lp, self.seq_tile,
+                self.Pc, _auto_interpret(interpret), self.unroll,
+            )
+            return fn(pack.xs, pack.lens, pack.loops_log, pack.moves_log,
+                      self.e_log, self.e_shift, self.tbm)
         fn = _pallas_filter_packed(
             "ssv", self.P_pad, self.bank.Mp, pack.Lp, self.seq_tile,
             self.Pc, self.masked, _auto_interpret(interpret),
