@@ -1332,11 +1332,13 @@ class PairForwardKernel:
         C0 = pair_idx.shape[1] if R else 0
         if R == 0 or C0 == 0:
             return numpy.zeros((R, C0), dtype=numpy.float32)
-        # survivor-row granularity: multiples of 16 up to 64 (the common
-        # range at F1=0.02), powers of two above — bounded compile count
-        # without padding a ~40-survivor row all the way to 64+
-        if C0 <= 64:
-            C = max(8, _round_up(C0, 16))
+        # survivor-row granularity: 8, then multiples of 16 up to 64
+        # (the common range at F1=0.02), powers of two above — bounded
+        # compile count without padding a ~40-survivor row to 64+
+        if C0 <= 8:
+            C = 8
+        elif C0 <= 64:
+            C = _round_up(C0, 16)
         else:
             C = 1 << (C0 - 1).bit_length()
         St = _round_up(R, 8) // 8
@@ -2364,8 +2366,10 @@ class PairBucketed:
             # (mixed-width groups wasted 2-4x the DP cells at real
             # survivor-count distributions)
             def qwidth(n: int) -> int:
+                if n <= 8:
+                    return 8     # Mp=2048 cells must stay 8 wide to fit
                 if n <= 64:
-                    return max(8, _round_up(n, 16))
+                    return _round_up(n, 16)
                 return 1 << (n - 1).bit_length()
 
             by_width: Dict[int, List[Tuple[int, "numpy.ndarray"]]] = {}

@@ -54,6 +54,13 @@ __all__ = ["SequenceHit", "SearchPipeline"]
 LOG2 = math.log(2.0)
 
 
+def _exp_surv_vec(bits, tau, lam):
+    """Vectorized ``engine.exp_surv``: exponential right-tail survival."""
+    return numpy.where(
+        bits <= tau, 1.0,
+        numpy.exp(-lam * numpy.maximum(bits - tau, 0.0)))
+
+
 @dataclass
 class SequenceHit:
     """All reported domains of one (sequence, profile) comparison."""
@@ -240,11 +247,15 @@ class SearchPipeline:
         order = {id(gm): p for p, gm in enumerate(self.profiles)}
         merged = [h for r in results if r for h in r]
         merged.sort(key=lambda h: (h.sequence_index, order[id(h.profile)]))
-        # aggregate per-stage accounting across shards
+        # aggregate per-stage accounting across the shards that RAN
+        # this call (a cached sub whose shard was empty still holds the
+        # previous batch's numbers)
         self.stage_counts = {}
         self.stage_seconds = {}
         self.stage_cells = {}
-        for sub in self._subs:
+        for d, sub in enumerate(self._subs):
+            if not shards[d]:
+                continue
             for key, value in sub.stage_counts.items():
                 self.stage_counts[key] = self.stage_counts.get(key, 0) + value
             for key, value in sub.stage_seconds.items():
@@ -504,18 +515,11 @@ class SearchPipeline:
             tau = self._bank.fwd_tau[p_arr]
             lam = self._bank.fwd_lambda[p_arr]
             bits_filt = bits_all - filter_extra(s_arr, p_arr) / LOG2
-
-            def _pv(b):
-                return numpy.where(
-                    b <= tau, 1.0,
-                    numpy.exp(-lam * numpy.maximum(b - tau, 0.0)),
-                )
-
-            pv_all = _pv(bits_all)
+            pv_all = _exp_surv_vec(bits_all, tau, lam)
             if self.max_filter:
                 keep = numpy.ones(len(s_arr), dtype=bool)
             else:
-                keep = _pv(bits_filt) <= self.F3
+                keep = _exp_surv_vec(bits_filt, tau, lam) <= self.F3
             if self.bit_cutoffs is None:
                 keep &= pv_all * Z <= self.E
             order2 = numpy.lexsort((p_arr[keep], s_arr[keep]))
@@ -559,23 +563,22 @@ class SearchPipeline:
             tau = self._bank.fwd_tau[ip[:, 1]].astype(numpy.float64)
             lam = self._bank.fwd_lambda[ip[:, 1]].astype(numpy.float64)
 
-            def _pv(b):
-                return numpy.where(
-                    b <= tau, 1.0,
-                    numpy.exp(-lam * numpy.maximum(b - tau, 0.0)))
-
-            pv_all = _pv(bits_all)
+            pv_all = _exp_surv_vec(bits_all, tau, lam)
             if self.max_filter:
                 keep = numpy.ones(len(items), dtype=bool)
             else:
-                keep = _pv(bits_all - extras) <= self.F3
+                keep = _exp_surv_vec(bits_all - extras, tau, lam) <= self.F3
             if self.bit_cutoffs is None:
                 keep &= pv_all * Z <= self.E
             else:
+                # evaluate cutoffs only for F3 passers — a profile
+                # without the requested cutoff line must not fail a
+                # search whose gated pairs never reach reporting
+                kept = numpy.flatnonzero(keep)
                 ga = numpy.asarray([
-                    self._cutoff(self.profiles[p])[0] for p in ip[:, 1]
+                    self._cutoff(self.profiles[p])[0] for p in ip[kept, 1]
                 ])
-                keep &= bits_all >= ga
+                keep[kept] &= bits_all[kept] >= ga
             candidates = [
                 (int(i), int(p), float(b), float(v))
                 for (i, p), b, v in zip(

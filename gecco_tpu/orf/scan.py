@@ -344,22 +344,24 @@ class ScanFinder(ORFFinder):
         self.cpus = cpus
         self.translation_table = translation_table
         self._presets = presets          # None = lazy-load embedded bank
+        self._preset_cache: Optional[List[Tuple[str, _Model]]] = None
 
     def _preset_models(self) -> List[Tuple[str, _Model]]:
-        if self._presets is None:
-            from .presets import load_presets
+        if self._preset_cache is None:
+            if self._presets is None:
+                from .presets import load_presets
 
-            self._presets = load_presets()
-        out = []
-        for preset in self._presets:
-            model = _Model(
-                preset.log_odds,
-                dict(zip(_STARTS, preset.codon_lo.tolist())),
-                preset.rbs_lo,
-                getattr(preset, "upstream_lo", None),
-            )
-            out.append((preset.name, model))
-        return out
+                self._presets = load_presets()
+            self._preset_cache = [
+                (preset.name, _Model(
+                    preset.log_odds,
+                    dict(zip(_STARTS, preset.codon_lo.tolist())),
+                    preset.rbs_lo,
+                    getattr(preset, "upstream_lo", None),
+                ))
+                for preset in self._presets
+            ]
+        return self._preset_cache
 
     # -- scoring ------------------------------------------------------------
 
