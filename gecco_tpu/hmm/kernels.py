@@ -1076,7 +1076,8 @@ def _pallas_pair_fwd(Mp: int, Lp: int, C: int, masked: bool, interpret: bool,
 @functools.lru_cache(maxsize=None)
 def _pallas_pair_fwd_ilp(Mp: int, Lp: int, C: int, masked: bool, interpret: bool,
                          nd: Optional[int] = None, viterbi: bool = False,
-                         unroll: int = 4, rows_per_cell: int = 2):
+                         unroll: int = 4, rows_per_cell: int = 2,
+                         log_space: bool = False):
     """Pair Forward/Viterbi with 2-4 independent rows per grid cell.
 
     The single-row kernel's padded-cell rate scales near-linearly with
@@ -1095,6 +1096,7 @@ def _pallas_pair_fwd_ilp(Mp: int, Lp: int, C: int, masked: bool, interpret: bool
     n_doubling = nd if nd is not None else int(math.log2(Mp))
     assert 1 << int(math.log2(Mp)) == Mp, "Mp must be a power of two"
     assert rows_per_cell in (2, 4) and 8 % rows_per_cell == 0
+    assert not log_space or viterbi, "log space is the max-plus semiring"
     R2 = rows_per_cell
     add = jnp.maximum if viterbi else (lambda a, b: a + b)
 
@@ -1105,10 +1107,12 @@ def _pallas_pair_fwd_ilp(Mp: int, Lp: int, C: int, masked: bool, interpret: bool
         lane = jax.lax.broadcasted_iota(jnp.int32, (C, Mp), dimension=1)
         first_lane = lane == 0
 
+        fill = NEG if log_space else 0.0
+
         def shift1(a):
             rolled = pltpu.roll(a, shift=1, axis=1)
             if masked:
-                return jnp.where(first_lane, 0.0, rolled)
+                return jnp.where(first_lane, fill, rolled)
             return rolled
 
         def make_row(r):
@@ -1129,56 +1133,103 @@ def _pallas_pair_fwd_ilp(Mp: int, Lp: int, C: int, masked: bool, interpret: bool
         for rd in rows[1:]:
             n_res = jnp.maximum(n_res, rd[4] - rd[3])
 
-        def dchain(m_new, tmd, tdd_shifted):
-            a = tdd_shifted
-            b = shift1(m_new * tmd)
-            shift = 1
-            for _ in range(n_doubling):
-                rolled_a = pltpu.roll(a, shift=shift, axis=1)
-                rolled_b = pltpu.roll(b, shift=shift, axis=1)
-                mask = lane >= shift
-                prev_a = jnp.where(mask, rolled_a, 1.0)
-                prev_b = jnp.where(mask, rolled_b, 0.0)
-                b = add(prev_b * a, b)
-                a = prev_a * a
-                shift *= 2
-            return b
+        if log_space:
+            # max-plus in LOG space: no per-step rescale, no 1/x, no log
+            def dchain(m_new, tmd, tdd_shifted):
+                a = tdd_shifted
+                b = shift1(m_new + tmd)
+                shift = 1
+                for _ in range(n_doubling):
+                    rolled_a = pltpu.roll(a, shift=shift, axis=1)
+                    rolled_b = pltpu.roll(b, shift=shift, axis=1)
+                    mask = lane >= shift
+                    prev_a = jnp.where(mask, rolled_a, 0.0)
+                    prev_b = jnp.where(mask, rolled_b, NEG)
+                    b = jnp.maximum(prev_b + a, b)
+                    a = prev_a + a
+                    shift *= 2
+                return b
 
-        def step_row(k, carry, row_data):
-            (tmm, tim, tdm, tmi, tii, tmd, tdd, bm), tdd_shifted, \
-                row, start, end, loop, move, r = row_data
-            M, I, D, N, B, J, Cc, logscale = carry
-            alive = k < end - start
-            xi = xs_ref[0, row, jnp.minimum(start + k, Lp - 1)]
-            e = e_ref[xi, 0, r]                 # [C, Mp]
-            stay = shift1(add(add(M * tmm, I * tim), D * tdm))
-            Mn = e * add(stay, B * bm)
-            In = add(M * tmi, I * tii)
-            Dn = dchain(Mn, tmd, tdd_shifted)
-            if viterbi:
+            def step_row(k, carry, row_data):
+                (tmm, tim, tdm, tmi, tii, tmd, tdd, bm), tdd_shifted, \
+                    row, start, end, loop, move, r = row_data
+                M, I, D, N, B, J, Cc = carry
+                alive = k < end - start
+                xi = xs_ref[0, row, jnp.minimum(start + k, Lp - 1)]
+                e = e_ref[xi, 0, r]             # [C, Mp] log odds
+                stay = shift1(jnp.maximum(jnp.maximum(M + tmm, I + tim),
+                                          D + tdm))
+                Mn = e + jnp.maximum(stay, B + bm)
+                In = jnp.maximum(M + tmi, I + tii)
+                Dn = dchain(Mn, tmd, tdd_shifted)
                 E = jnp.max(jnp.maximum(Mn, Dn), axis=1, keepdims=True)
-            else:
-                E = jnp.sum(Mn + Dn, axis=1, keepdims=True)
-            Jn = add(J * loop, E * 0.5)
-            Cn = add(Cc * loop, E * 0.5)
-            Nn = N * loop
-            Bn = add(Nn, Jn) * move
-            total = E + Bn + Nn + Cn + 1e-30
-            inv = 1.0 / total
-            return (jnp.where(alive, Mn * inv, M),
-                    jnp.where(alive, In * inv, I),
-                    jnp.where(alive, Dn * inv, D),
-                    jnp.where(alive, Nn * inv, N),
-                    jnp.where(alive, Bn * inv, B),
-                    jnp.where(alive, Jn * inv, J),
-                    jnp.where(alive, Cn * inv, Cc),
-                    jnp.where(alive, logscale + jnp.log(total), logscale))
+                Elm = E + math.log(0.5)
+                Jn = jnp.maximum(J + loop, Elm)
+                Cn = jnp.maximum(Cc + loop, Elm)
+                Nn = N + loop
+                Bn = jnp.maximum(Nn, Jn) + move
+                return (jnp.where(alive, Mn, M),
+                        jnp.where(alive, In, I),
+                        jnp.where(alive, Dn, D),
+                        jnp.where(alive, Nn, N),
+                        jnp.where(alive, Bn, B),
+                        jnp.where(alive, Jn, J),
+                        jnp.where(alive, Cn, Cc))
+        else:
+            def dchain(m_new, tmd, tdd_shifted):
+                a = tdd_shifted
+                b = shift1(m_new * tmd)
+                shift = 1
+                for _ in range(n_doubling):
+                    rolled_a = pltpu.roll(a, shift=shift, axis=1)
+                    rolled_b = pltpu.roll(b, shift=shift, axis=1)
+                    mask = lane >= shift
+                    prev_a = jnp.where(mask, rolled_a, 1.0)
+                    prev_b = jnp.where(mask, rolled_b, 0.0)
+                    b = add(prev_b * a, b)
+                    a = prev_a * a
+                    shift *= 2
+                return b
+
+            def step_row(k, carry, row_data):
+                (tmm, tim, tdm, tmi, tii, tmd, tdd, bm), tdd_shifted, \
+                    row, start, end, loop, move, r = row_data
+                M, I, D, N, B, J, Cc, logscale = carry
+                alive = k < end - start
+                xi = xs_ref[0, row, jnp.minimum(start + k, Lp - 1)]
+                e = e_ref[xi, 0, r]                 # [C, Mp]
+                stay = shift1(add(add(M * tmm, I * tim), D * tdm))
+                Mn = e * add(stay, B * bm)
+                In = add(M * tmi, I * tii)
+                Dn = dchain(Mn, tmd, tdd_shifted)
+                if viterbi:
+                    E = jnp.max(jnp.maximum(Mn, Dn), axis=1, keepdims=True)
+                else:
+                    E = jnp.sum(Mn + Dn, axis=1, keepdims=True)
+                Jn = add(J * loop, E * 0.5)
+                Cn = add(Cc * loop, E * 0.5)
+                Nn = N * loop
+                Bn = add(Nn, Jn) * move
+                total = E + Bn + Nn + Cn + 1e-30
+                inv = 1.0 / total
+                return (jnp.where(alive, Mn * inv, M),
+                        jnp.where(alive, In * inv, I),
+                        jnp.where(alive, Dn * inv, D),
+                        jnp.where(alive, Nn * inv, N),
+                        jnp.where(alive, Bn * inv, B),
+                        jnp.where(alive, Jn * inv, J),
+                        jnp.where(alive, Cn * inv, Cc),
+                        jnp.where(alive, logscale + jnp.log(total), logscale))
 
         zeros = jnp.zeros((C, Mp), jnp.float32)
+        negs = jnp.full((C, Mp), NEG, jnp.float32)
         z1 = jnp.zeros((C, 1), jnp.float32)
 
         def init(row_data):
             move = row_data[6]
+            if log_space:
+                return (negs, negs, negs, z1, z1 + move,
+                        z1 + NEG, z1 + NEG)
             return (zeros, zeros, zeros, z1 + 1.0, z1 + move, z1, z1, z1)
 
         def step(k, carries):
@@ -1195,10 +1246,13 @@ def _pallas_pair_fwd_ilp(Mp: int, Lp: int, C: int, masked: bool, interpret: bool
         carries = jax.lax.fori_loop(
             (n_res // unroll) * unroll, n_res, step, carries)
         for r in range(R2):
-            C_final, logscale = carries[r][6], carries[r][7]
             move = rows[r][6]
-            out_ref[0, R2 * j + r, :] = (
-                jnp.log(C_final * move + 1e-38) + logscale)[:, 0]
+            if log_space:
+                out_ref[0, R2 * j + r, :] = (carries[r][6] + move)[:, 0]
+            else:
+                C_final, logscale = carries[r][6], carries[r][7]
+                out_ref[0, R2 * j + r, :] = (
+                    jnp.log(C_final * move + 1e-38) + logscale)[:, 0]
 
     def run(xs, starts, ends, loops, moves, idx, e_odds, *trans):
         St = xs.shape[0]
@@ -1238,15 +1292,16 @@ def _pallas_pair_fwd_ilp(Mp: int, Lp: int, C: int, masked: bool, interpret: bool
 def _pallas_pair_fwd_packed(Mp: int, Lp: int, C: int, masked: bool,
                             interpret: bool, with_ranges: bool,
                             nd: Optional[int] = None, viterbi: bool = False,
-                            rows_per_cell: int = 2):
+                            rows_per_cell: int = 2, log_space: bool = False):
     """Packed-batch entry: gather sequence rows on device, then DP."""
     import jax
 
     if rows_per_cell > 1:
         inner = _pallas_pair_fwd_ilp(
             Mp, Lp, C, masked, interpret, nd, viterbi,
-            rows_per_cell=rows_per_cell)
+            rows_per_cell=rows_per_cell, log_space=log_space)
     else:
+        assert not log_space
         inner = _pallas_pair_fwd(Mp, Lp, C, masked, interpret, nd, viterbi)
 
     def run(xs_all, lens_all, loops_all, moves_all, rows, valid, idx,
@@ -1292,11 +1347,26 @@ class PairForwardKernel:
         self.viterbi = viterbi
         self.masked = bool((bank.lengths >= bank.Mp).any())
         self.nd = dchain_depth(bank)
-        self.e_odds = jnp.asarray(bank.e_odds)
-        self.trans = tuple(jnp.asarray(a) for a in (
-            bank.tmm, bank.tim, bank.tdm, bank.tmi, bank.tii,
-            bank.tmd, bank.tdd, bank.bm,
-        ))
+        if viterbi:
+            # max-plus runs in LOG space (no per-step rescale, no
+            # transcendentals): upload log-odds/log-transition tensors
+            def logs(a):
+                with numpy.errstate(divide="ignore"):
+                    return jnp.asarray(numpy.where(
+                        a > 0, numpy.log(numpy.maximum(a, 1e-300)), NEG
+                    ).astype(numpy.float32))
+
+            self.e_odds = logs(bank.e_odds)
+            self.trans = tuple(logs(a) for a in (
+                bank.tmm, bank.tim, bank.tdm, bank.tmi, bank.tii,
+                bank.tmd, bank.tdd, bank.bm,
+            ))
+        else:
+            self.e_odds = jnp.asarray(bank.e_odds)
+            self.trans = tuple(jnp.asarray(a) for a in (
+                bank.tmm, bank.tim, bank.tdm, bank.tmi, bank.tii,
+                bank.tmd, bank.tdd, bank.bm,
+            ))
 
     def __call__(self, sequences, pair_idx, pad_to=None, interpret=False, ranges=None):
         """Forward scores (nats) for chosen pairs.
@@ -1364,16 +1434,35 @@ class PairForwardKernel:
         # narrow cells interleave 4 rows, mid cells 2, wide cells 1
         cell = C * self.bank.Mp
         rpc = 4 if cell <= 8192 else (2 if cell <= 16384 else 1)
+        # Viterbi ILP cells run max-plus in LOG space (the tensors this
+        # kernel holds for viterbi=True); wide single-row cells keep
+        # the prob-space kernel and need probability tensors
+        log_space = self.viterbi and rpc > 1
+        if self.viterbi and not log_space:
+            if not hasattr(self, "_prob_tensors"):
+                self._prob_tensors = (
+                    jnp.asarray(self.bank.e_odds),
+                    tuple(jnp.asarray(a) for a in (
+                        self.bank.tmm, self.bank.tim, self.bank.tdm,
+                        self.bank.tmi, self.bank.tii, self.bank.tmd,
+                        self.bank.tdd, self.bank.bm,
+                    )),
+                )
+            e_odds, trans = self._prob_tensors
+        else:
+            e_odds, trans = self.e_odds, self.trans
         fn = _pallas_pair_fwd_packed(
             self.bank.Mp, pack.Lp, C, self.masked,
             _auto_interpret(interpret), ranges is not None, self.nd,
-            self.viterbi, rows_per_cell=rpc,
+            self.viterbi, rows_per_cell=rpc, log_space=log_space,
         )
         out = fn(
-            pack.xs, pack.lens, pack.loops_exp, pack.moves_exp,
+            pack.xs, pack.lens,
+            pack.loops_log if log_space else pack.loops_exp,
+            pack.moves_log if log_space else pack.moves_exp,
             jnp.asarray(rows_p), jnp.asarray(valid), jnp.asarray(idx),
             jnp.asarray(starts), jnp.asarray(ends),
-            self.e_odds, *self.trans,
+            e_odds, *trans,
         )
         if fetch:
             return numpy.asarray(out)[:R, :C0]
