@@ -174,7 +174,7 @@ def embedded_hmms(directory: Optional[str] = None) -> Iterator[HMM]:
         args: Dict[str, Any] = dict(cfg.items("hmm"))
         size = int(args.pop("size", 0))
         stem = os.path.join(directory, filename[:-4])
-        for suffix in (".hmm", ".hmm.gz", ".h3m"):
+        for suffix in (".hmm", ".hmm.gz", ".h3m", ".h3m.gz"):
             if os.path.exists(stem + suffix):
                 yield HMM(path=stem + suffix, size=size, **args)
                 break
