@@ -98,10 +98,27 @@ def group_annotation(parser, defaults: Dict[str, object]) -> None:
                        default=defaults.get("--backend", "auto"),
                        help="Device engine for the profile-HMM search "
                             "(auto: Pallas kernels on TPU, XLA elsewhere).")
-    group.add_argument("--devices", default=defaults.get("--devices", None),
+    group.add_argument("--devices", type=_devices_value,
+                       default=defaults.get("--devices", None),
                        help="Shard the search batch over local devices: "
-                            "'all', or a device count (data parallelism "
-                            "within one process; default: one device).")
+                            "'all', or a positive device count (data "
+                            "parallelism within one process; default: "
+                            "one device).")
+
+
+def _devices_value(value: str):
+    """``--devices`` argument: 'all' or a positive integer."""
+    if value == "all":
+        return value
+    try:
+        count = int(value)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"expected 'all' or a positive integer, got {value!r}")
+    if count < 1:
+        raise argparse.ArgumentTypeError(
+            f"expected 'all' or a positive integer, got {value!r}")
+    return count
 
 
 def group_filtering(parser, defaults: Dict[str, object]) -> None:

@@ -91,8 +91,8 @@ def _report_fold(logger, fold, truth, predicted):
         # a degenerate fold (e.g. LOTO leaving a test side with no
         # labelled cluster genes) has no defined AUROC/AUPR — report
         # and let the overall metrics cover it instead of crashing
-        logger.warn(
-            f"Fold {fold} has single-class labels; skipping its metrics")
+        what = f"Fold {fold}" if fold else "The pooled cross-validation set"
+        logger.warn(f"{what} has single-class labels; skipping its metrics")
         return None, None
     aupr = average_precision_score(labels, probas)
     auroc = roc_auc_score(labels, probas)

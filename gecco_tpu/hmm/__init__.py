@@ -180,7 +180,7 @@ def embedded_hmms(directory: Optional[str] = None) -> Iterator[HMM]:
                 break
         else:
             raise FileNotFoundError(
-                f"{filename}: no {stem + '.hmm'!r} (or .hmm.gz / .h3m) next "
+                f"{filename}: no {stem + '.hmm'!r} (or .hmm.gz / .h3m / .h3m.gz) next "
                 "to it — build the embedded library with "
                 "tools/build_data.py, or pass --hmm with your own HMMER3 "
                 "file"

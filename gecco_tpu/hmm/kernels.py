@@ -85,6 +85,21 @@ def _legal_pc(P: int, Mp: int, preferred: int, cell_budget: int) -> int:
     return P8              # VMEM-oversized fallback (see docstring)
 
 
+def _pair_width(n: int) -> int:
+    """Survivor-row width quantization shared by the pair dispatchers.
+
+    8, then multiples of 16 up to 64 (the common range at F1=0.02),
+    powers of two above — bounded compile count without padding a
+    ~40-survivor row to 64+; 8-wide keeps Mp=2048 cells inside the
+    per-dispatch VMEM cell budget.
+    """
+    if n <= 8:
+        return 8
+    if n <= 64:
+        return _round_up(n, 16)
+    return 1 << (n - 1).bit_length()
+
+
 def dchain_depth(bank: ProfileBank) -> int:
     """Doubling steps needed by the delete-chain prefix scan.
 
@@ -1402,15 +1417,7 @@ class PairForwardKernel:
         C0 = pair_idx.shape[1] if R else 0
         if R == 0 or C0 == 0:
             return numpy.zeros((R, C0), dtype=numpy.float32)
-        # survivor-row granularity: 8, then multiples of 16 up to 64
-        # (the common range at F1=0.02), powers of two above — bounded
-        # compile count without padding a ~40-survivor row to 64+
-        if C0 <= 8:
-            C = 8
-        elif C0 <= 64:
-            C = _round_up(C0, 16)
-        else:
-            C = 1 << (C0 - 1).bit_length()
+        C = _pair_width(C0)
         St = _round_up(R, 8) // 8
         St = 1 << (St - 1).bit_length()
         n = St * 8
@@ -2454,16 +2461,9 @@ class PairBucketed:
             # survivors never pads to a 60-survivor neighbour's width
             # (mixed-width groups wasted 2-4x the DP cells at real
             # survivor-count distributions)
-            def qwidth(n: int) -> int:
-                if n <= 8:
-                    return 8     # Mp=2048 cells must stay 8 wide to fit
-                if n <= 64:
-                    return _round_up(n, 16)
-                return 1 << (n - 1).bit_length()
-
             by_width: Dict[int, List[Tuple[int, "numpy.ndarray"]]] = {}
             for row in rows:
-                by_width.setdefault(qwidth(len(row[1])), []).append(row)
+                by_width.setdefault(_pair_width(len(row[1])), []).append(row)
             # bound the kernel's gathered-emissions HBM footprint
             # (21 x rows x C x Mp f32): genome-sized batches go out in
             # row groups instead of one giant call.  All groups are

@@ -265,6 +265,23 @@ class SearchPipeline:
                 self.stage_cells[key] = self.stage_cells.get(key, 0.0) + value
         return merged
 
+    def _f3_e_gate(self, bits_all, bits_filt, tau, lam, Z):
+        """Vectorized F3 (bias-filtered tail) + E-value gates.
+
+        Shared by the stage-2 pre-prune and the stage-3 candidate
+        selection so the two thresholds cannot drift apart.  Returns
+        ``(pv_all, keep)``; the bit-cutoff branch (stage 3 only) is
+        applied by the caller on top of ``keep``.
+        """
+        pv_all = _exp_surv_vec(bits_all, tau, lam)
+        if self.max_filter:
+            keep = numpy.ones(len(bits_all), dtype=bool)
+        else:
+            keep = _exp_surv_vec(bits_filt, tau, lam) <= self.F3
+        if self.bit_cutoffs is None:
+            keep &= pv_all * Z <= self.E
+        return pv_all, keep
+
     # -- search ------------------------------------------------------------
 
     def search(self, sequences: Sequence["numpy.ndarray"]) -> List[SequenceHit]:
@@ -515,13 +532,7 @@ class SearchPipeline:
             tau = self._bank.fwd_tau[p_arr]
             lam = self._bank.fwd_lambda[p_arr]
             bits_filt = bits_all - filter_extra(s_arr, p_arr) / LOG2
-            pv_all = _exp_surv_vec(bits_all, tau, lam)
-            if self.max_filter:
-                keep = numpy.ones(len(s_arr), dtype=bool)
-            else:
-                keep = _exp_surv_vec(bits_filt, tau, lam) <= self.F3
-            if self.bit_cutoffs is None:
-                keep &= pv_all * Z <= self.E
+            pv_all, keep = self._f3_e_gate(bits_all, bits_filt, tau, lam, Z)
             order2 = numpy.lexsort((p_arr[keep], s_arr[keep]))
             pair_scores = {
                 (int(s), int(p)): float(v)
@@ -563,14 +574,9 @@ class SearchPipeline:
             tau = self._bank.fwd_tau[ip[:, 1]].astype(numpy.float64)
             lam = self._bank.fwd_lambda[ip[:, 1]].astype(numpy.float64)
 
-            pv_all = _exp_surv_vec(bits_all, tau, lam)
-            if self.max_filter:
-                keep = numpy.ones(len(items), dtype=bool)
-            else:
-                keep = _exp_surv_vec(bits_all - extras, tau, lam) <= self.F3
-            if self.bit_cutoffs is None:
-                keep &= pv_all * Z <= self.E
-            else:
+            pv_all, keep = self._f3_e_gate(
+                bits_all, bits_all - extras, tau, lam, Z)
+            if self.bit_cutoffs is not None:
                 # evaluate cutoffs only for F3 passers — a profile
                 # without the requested cutoff line must not fail a
                 # search whose gated pairs never reach reporting

@@ -1596,6 +1596,9 @@ class StreamDomains:
             # narrow buckets spend the VMEM leftover on longer chunks
             Ca = min(_C_ALIGN, max(8, 16384 // bk.Mp))
             Lc_a = _LC * max(1, min(4, 16384 // (Ca * bk.Mp)))
+            if (nLc * Lc) % Lc_a:
+                Lc_a = Lc   # keep full residue coverage when the align
+                            # chunk would not divide the stream length
             nLc_a = (nLc * Lc) // Lc_a
             cells_a = _pow2((NE + Ca - 1) // Ca)
             Ra = cells_a * Ca
