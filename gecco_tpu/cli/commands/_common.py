@@ -240,7 +240,7 @@ def annotate_genes(logger, genes: List, features) -> List:
         if isinstance(probability, float) and math.isnan(probability):
             probability = None
         accession = features.domain[i]
-        entry = interpro.by_accession.get(accession)
+        entry = interpro.lookup(accession)
         qualifiers = {
             "inference": ["protein motif"],
             "db_xref": ["{}:{}".format(features.hmm[i].upper(), accession)],

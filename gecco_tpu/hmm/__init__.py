@@ -121,7 +121,7 @@ class ProfileHMMAnnotator(DomainAnnotator):
         for hit in pipeline.search(sequences):
             raw_acc = hit.profile.accession or hit.profile.name
             accession = self.hmm.relabel(raw_acc)
-            entry = interpro.by_accession.get(accession)
+            entry = interpro.lookup(accession)
             for dom in hit.domains:
                 qualifiers: Dict[str, List[str]] = {
                     "inference": ["protein motif"],

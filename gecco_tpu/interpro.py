@@ -5,11 +5,19 @@ The reference ships an ``interpro.json`` resource (a git-LFS blob missing
 from the mounted checkout); this loader reads the same JSON layout from
 ``gecco_tpu/data/interpro.json`` when present and degrades to an empty
 database otherwise, so annotation still works (without GO metadata).
+
+.. note:: The *shipped* ``gecco_tpu/data/interpro.json`` is a 24-entry
+   fixture covering the test corpus only — NOT the full Pfam→InterPro/GO
+   mapping.  Annotating other profile libraries will produce domains
+   without InterPro/GO metadata (a one-shot :class:`UserWarning` says
+   so at runtime).  Rebuild the full asset from the InterPro XML release
+   with ``tools/update_interpro.py`` when network access is available.
 """
 
 import gzip
 import json
 import os
+import warnings
 from dataclasses import dataclass
 from typing import Dict, List, Optional
 
@@ -55,11 +63,34 @@ class InterProEntry:
 class InterPro:
     """A queryable subset of the InterPro database."""
 
+    _warned_missing = False     # one-shot per process, not per instance
+
     def __init__(self, entries: List[InterProEntry]) -> None:
         self.entries = entries
         self.by_accession: Dict[str, InterProEntry] = {
             member: entry for entry in entries for member in entry.members
         }
+
+    def lookup(self, accession: Optional[str]) -> Optional[InterProEntry]:
+        """``by_accession.get`` with a one-shot coverage warning.
+
+        The shipped metadata is a fixture covering the test corpus; a
+        miss on a real accession most likely means the full asset was
+        never rebuilt (``tools/update_interpro.py``), which silently
+        drops InterPro/GO qualifiers — worth exactly one warning.
+        """
+        entry = self.by_accession.get(accession) if accession else None
+        if entry is None and accession and not InterPro._warned_missing:
+            InterPro._warned_missing = True
+            warnings.warn(
+                f"no InterPro entry for {accession!r}: the embedded "
+                "interpro.json covers the test corpus only; rebuild the "
+                "full Pfam mapping with tools/update_interpro.py "
+                "(domains without an entry carry no InterPro/GO metadata)",
+                UserWarning,
+                stacklevel=2,
+            )
+        return entry
 
     @classmethod
     def load(cls, path: Optional[str] = None) -> "InterPro":

@@ -132,3 +132,81 @@ def test_embedded_whitelist_size():
     )
     whitelist = build_data.load_whitelist(data_dir)
     assert len(whitelist) == 2766
+
+
+def test_h3m_writer_byte_layout_pinned():
+    """Writer byte-layout regression pin (VERDICT r4 #8).
+
+    No HMMER/pyhmmer exists in this environment to cross-validate the
+    binary layout against, so reader/writer drift would otherwise be
+    invisible to the round-trip tests (both sides would drift
+    together).  This pins the exact bytes the writer emits for the
+    minipfam fixture; a hash change means the layout changed and MUST
+    be re-checked against ``p7_hmmfile_WriteBinary`` field order
+    (module docstring) before updating the constant."""
+    import hashlib
+    import io as _io
+
+    from gecco_tpu.hmm.h3m import write_h3m
+    from gecco_tpu.hmm.io import parse_hmmer3
+
+    profiles = list(parse_hmmer3(MINIPFAM))
+    buf = _io.BytesIO()
+    write_h3m(buf, profiles)
+    payload = buf.getvalue()
+    assert len(payload) == 365845
+    assert hashlib.sha256(payload).hexdigest() == (
+        "b2a12afe971170d350a671e38ae18889709eea2fdaf21286a792526f28f72872")
+
+
+def test_h3m_reader_skips_annotation_lines():
+    """A 3/f record carrying RF + model-mask + consensus + CS + CA
+    annotation lines parses correctly (ADVICE r4: the annotation-flag
+    paths were exercised by no test).  The record is built by hand
+    following the documented ``p7_hmmfile_WriteBinary`` layout."""
+    import io as _io
+    import struct
+
+    import numpy
+
+    from gecco_tpu.hmm import h3m
+    from gecco_tpu.hmm.h3m import H3M_MAGICS, read_h3m
+
+    M = 3
+    flags = (h3m._F_ACC | h3m._F_DESC | h3m._F_RF | h3m._F_CS
+             | h3m._F_CONS | h3m._F_CA | h3m._F_MMASK)
+
+    def bstr(s):
+        raw = s.encode() + b"\0"
+        return struct.pack("<i", len(raw)) + raw
+
+    out = [struct.pack("<Iiii", H3M_MAGICS[5], flags, M, 3)]
+    out.append(bstr("toy"))
+    out.append(bstr("TOY001.1"))
+    out.append(bstr("a description"))
+    for line in ("xxx", "mmm", "ACD", "sss", "aaa"):  # RF MM CONS CS CA
+        out.append(b" " + line.encode() + b"\0")      # M+2 chars each
+    out.append(struct.pack("<i", 0))                  # no command log
+    out.append(struct.pack("<if", 4, 4.0))            # nseq, eff_nseq
+    out.append(struct.pack("<i", 100))                # max_length
+    out.append(struct.pack("<i", 0))                  # no ctime
+    out.append(struct.pack("<I", 0))                  # checksum
+    out.append(numpy.full(6, -99999.0, dtype="<f4").tobytes())  # stats unset
+    out.append(numpy.full(6, -99999.0, dtype="<f4").tobytes())  # cutoffs unset
+    rng = numpy.random.default_rng(0)
+    trans = rng.dirichlet(numpy.ones(3), size=(M + 1, 3))
+    t7 = numpy.zeros((M + 1, 7))
+    t7[:, 0:3] = trans[:, 0]        # MM MI MD
+    t7[:, 3:5] = trans[:, 1, :2]    # IM II
+    t7[:, 5:7] = trans[:, 2, :2]    # DM DD
+    match = rng.dirichlet(numpy.ones(20), size=M + 1)
+    insert = rng.dirichlet(numpy.ones(20), size=M + 1)
+    out.append(t7.astype("<f4").tobytes())
+    out.append(match[1:].astype("<f4").tobytes())
+    out.append(insert.astype("<f4").tobytes())
+
+    (gm,) = read_h3m(_io.BytesIO(b"".join(out)))
+    assert gm.name == "toy" and gm.accession == "TOY001.1"
+    assert gm.length == M and gm.consensus == "ACD"
+    numpy.testing.assert_allclose(gm.match[1:], match[1:], atol=1e-6)
+    numpy.testing.assert_allclose(gm.insert, insert, atol=1e-6)

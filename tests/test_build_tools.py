@@ -156,3 +156,27 @@ def test_embedded_interpro_fixture():
     assert all(t.namespace == "molecular_function" for t in entry.go_functions)
     # a Pfam with no InterPro entry resolves to None
     assert db.by_accession.get("PF13489") is None
+
+
+def test_interpro_lookup_warns_once_on_missing_accession():
+    """A miss on the fixture database warns exactly once per process
+    (the shipped interpro.json covers the test corpus only; the
+    recovery path is tools/update_interpro.py)."""
+    import warnings
+
+    import pytest
+
+    from gecco_tpu.interpro import InterPro
+
+    db = InterPro.load()
+    old = InterPro._warned_missing
+    try:
+        InterPro._warned_missing = False
+        with pytest.warns(UserWarning, match="update_interpro"):
+            assert db.lookup("PF99999") is None
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")     # a second warning would raise
+            assert db.lookup("PF99998") is None
+            assert db.lookup(None) is None
+    finally:
+        InterPro._warned_missing = old
