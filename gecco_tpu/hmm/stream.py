@@ -1524,7 +1524,19 @@ class StreamDomains:
             Lc = _LC * max(1, min(4, 32768 // (C * bk.Mp)))
             Lps = min(_pow2(Lmax, Lc), _MAX_LPS)
             if pack.Lp < Lps:  # caller passed a narrower pad_to/pack
+                # shrink the chunk until the Lc-truncated stream still
+                # covers the bucket's longest sequence; silently
+                # dropping trailing residues would leave those rows'
+                # domains unfinished (ADVICE r4)
+                while Lc > _LC and (pack.Lp // Lc) * Lc < Lmax:
+                    Lc //= 2
                 Lps = max(Lc, (pack.Lp // Lc) * Lc)
+                if Lps < Lmax:
+                    raise ValueError(
+                        f"pack width {pack.Lp} cannot cover the longest "
+                        f"sequence ({Lmax} residues) at stream-chunk "
+                        f"granularity {Lc}; pass pad_to >= "
+                        f"{_pow2(Lmax, Lc)}")
             nLc = Lps // Lc
             cells = _pow2((R0 + C - 1) // C)
             R = cells * C

@@ -847,3 +847,27 @@ def test_vmem_chunk_scaling():
     assert _legal_pc(90, 1024, 256, 65536) == 96     # single chunk
     assert _legal_pc(5, 2048, 256, 65536) == 8       # single chunk
     assert _legal_pc(10, 128, 256, 65536) == 16      # small bucket
+
+
+def test_stream_domains_narrow_pack_never_truncates(profiles, sequences):
+    """A caller-supplied ``pad_to`` that is not a multiple of the
+    stream chunk must either still cover the longest sequence (chunk
+    shrunk to fit) or raise — never silently drop trailing residues
+    (ADVICE r4: rows whose tail was cut would simply never finish)."""
+    from gecco_tpu.hmm.stream import StreamDomains
+
+    bank = batch.ProfileBank.build(profiles)
+    xs = [x for _, x in sequences]
+    name_of = {gm.name: i for i, gm in enumerate(profiles)}
+    pairs = [(0, name_of["1-cysPrx_C"])]
+    L0 = len(xs[0])
+    dom = StreamDomains(bank, profiles)
+    # too narrow at any chunk granularity -> loud error, not truncation
+    with pytest.raises(ValueError, match="pad_to"):
+        dom.define(xs, pairs, pad_to=L0 + 7, interpret=True)
+    # narrow but coverable once the chunk shrinks -> exact results
+    pad = ((L0 + 31) // 32) * 32 + 16     # >= L0, not a multiple of 128
+    got = dom.define(xs, pairs, pad_to=pad, interpret=True)
+    expected = engine.define_domains(profiles[pairs[0][1]], xs[0])
+    assert [(a.ienv, a.jenv) for a in got[pairs[0]]] == [
+        (b.ienv, b.jenv) for b in expected]
