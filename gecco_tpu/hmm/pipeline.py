@@ -102,10 +102,16 @@ class SearchPipeline:
         self.F3 = F3
         # per-stage survivor counts / wall seconds / DP cells (L x M per
         # pair) of the last search() call — the bench reads these for
-        # honest per-stage Gcells/s reporting
+        # honest per-stage Gcells/s reporting.  On multi-device
+        # searches ``stage_cells``/``stage_counts`` SUM across devices
+        # while ``stage_seconds`` is the slowest device's wall (the
+        # shards run concurrently), so ``cells/seconds`` is the
+        # AGGREGATE rate of all ``stage_devices`` chips — divide by
+        # ``stage_devices`` for a per-chip figure.
         self.stage_counts: Dict[str, int] = {}
         self.stage_seconds: Dict[str, float] = {}
         self.stage_cells: Dict[str, float] = {}
+        self.stage_devices: int = 1
         self.E = E
         self.domE = domE
         if bit_cutoffs not in (None, "gathering", "noise", "trusted"):
@@ -253,12 +259,16 @@ class SearchPipeline:
         self.stage_counts = {}
         self.stage_seconds = {}
         self.stage_cells = {}
+        self.stage_devices = sum(1 for s in shards if s)
         for d, sub in enumerate(self._subs):
             if not shards[d]:
                 continue
             for key, value in sub.stage_counts.items():
                 self.stage_counts[key] = self.stage_counts.get(key, 0) + value
             for key, value in sub.stage_seconds.items():
+                # slowest device = the stage's wall clock (shards run
+                # concurrently); cells stay summed, so derived rates
+                # are aggregate across stage_devices chips
                 self.stage_seconds[key] = max(
                     self.stage_seconds.get(key, 0.0), value)
             for key, value in sub.stage_cells.items():
@@ -346,6 +356,7 @@ class SearchPipeline:
 
         self.stage_seconds = {}
         self.stage_cells = {}
+        self.stage_devices = 1
         t_stage = time.perf_counter()
 
         # Length-bucketing matters only for the XLA engines, whose scan

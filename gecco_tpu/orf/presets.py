@@ -57,6 +57,7 @@ def train_preset(
     codon_scale: float = 5.0,
     upstream_scale: float = 0.8,
     hexamer_clip: float = 4.0,
+    strands: Optional[Tuple] = None,
 ) -> Preset:
     """Fit a preset from an annotated genome.
 
@@ -65,6 +66,11 @@ def train_preset(
     ``gecco_tpu.tables.GeneTable``).  The statistics mirror the second
     (retrain) pass of ``ScanFinder._fit_model``, with the annotation
     standing in for the provisional gene set.
+
+    ``strands`` optionally reuses an already-built ``(forward,
+    reverse)`` :class:`scan._StrandData` pair — candidate enumeration
+    is the dominant cost of this function, and the de-novo fallback
+    (``ScanFinder._call_short_denovo``) already holds one.
     """
     from .scan import (
         _RBS_MOTIFS, _STARTS, W_UP_WINDOW, _StrandData, _encode,
@@ -73,8 +79,11 @@ def train_preset(
 
     seq = sequence.upper()
     n = len(seq)
-    forward = _StrandData(seq, 1, False)
-    reverse = _StrandData(reverse_complement(seq), -1, False)
+    if strands is not None:
+        forward, reverse = strands
+    else:
+        forward = _StrandData(seq, 1, False)
+        reverse = _StrandData(reverse_complement(seq), -1, False)
 
     # hexamer statistics over the annotated coding spans (stop excluded)
     spans_f: List[Tuple[int, int]] = []

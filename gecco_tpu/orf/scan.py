@@ -203,6 +203,16 @@ def _hexamer_counts(codes: "numpy.ndarray", spans: Sequence[Tuple[int, int]],
     counts = numpy.full(4096, pseudocount, dtype=numpy.float64)
     if not len(spans):
         return counts
+    if pseudocount == 1.0:
+        # the native core walks the spans directly; the numpy fallback
+        # below pays a full-genome rolling-hexamer pass PER CALL, which
+        # profiled as the dominant cost of self-training (8 calls x
+        # ~0.17 s on the 3.3 Mbp bench contig)
+        from ._native import native_hexamer_counts
+
+        native = native_hexamer_counts(codes, spans)
+        if native is not None:
+            return native
     # ONE rolling-hexamer pass over the whole sequence, then one
     # bincount over the concatenated in-frame span positions (a
     # per-span ufunc.at loop cost more than the native ORF scan on
@@ -712,7 +722,8 @@ class ScanFinder(ORFFinder):
         from .presets import train_preset
 
         genes = [(c.start + 1, c.end, c.strand) for c in seed]
-        preset = train_preset(seq, genes, name="fallback")
+        preset = train_preset(seq, genes, name="fallback",
+                              strands=tuple(strands))
         m = _Model(
             preset.log_odds,
             dict(zip(_STARTS, preset.codon_lo.tolist())),

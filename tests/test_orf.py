@@ -322,3 +322,17 @@ def test_native_matches_python_enumeration():
         for b, e in zip(s32, e32)
     ])
     assert np.allclose(native_scores, python_scores)
+
+    # hexamer-count agreement (the self-trainer's hot path routes to
+    # the native walker; the numpy fallback must count identically,
+    # including clamped span ends and N-containing hexamers)
+    spans = [(int(s), int(e) - 3) for s, e, *_ in sorted(native_set)][:50]
+    spans.append((len(codes) - 8, len(codes) + 10))   # end past the contig
+    native_counts = _native.native_hexamer_counts(codes, spans)
+    backup_hex = _native.native_hexamer_counts
+    _native.native_hexamer_counts = lambda *a, **k: None
+    try:
+        python_counts = scan_mod._hexamer_counts(codes, spans)
+    finally:
+        _native.native_hexamer_counts = backup_hex
+    assert np.array_equal(native_counts, python_counts)
