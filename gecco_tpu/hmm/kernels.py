@@ -20,6 +20,7 @@ Design (see ``pallas_guide.md``):
 """
 
 import functools
+import os
 import math
 import time
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -88,15 +89,15 @@ def _legal_pc(P: int, Mp: int, preferred: int, cell_budget: int) -> int:
 def _pair_width(n: int) -> int:
     """Survivor-row width quantization shared by the pair dispatchers.
 
-    8, then multiples of 16 up to 64 (the common range at F1=0.02),
-    powers of two above — bounded compile count without padding a
-    ~40-survivor row to 64+; 8-wide keeps Mp=2048 cells inside the
-    per-dispatch VMEM cell budget.
+    8, 16, 32, then powers of two — bounded compile count; 8-wide
+    keeps Mp=2048 cells inside the per-dispatch VMEM cell budget.
+    The 48 rung was removed after measuring it: non-power-of-two
+    sublane blocks run 15.0 Gpad/s where C=64 runs 25.7 (docs/
+    kernels.md #3), so padding a 33-48-survivor row to 64 is a net
+    win (25.7 / (64/48) = 19.3 effective on true cells).
     """
     if n <= 8:
         return 8
-    if n <= 64:
-        return _round_up(n, 16)
     return 1 << (n - 1).bit_length()
 
 
@@ -111,7 +112,7 @@ def dchain_depth(bank: ProfileBank) -> int:
     — on typical banks this halves the chain cost; on high-``tdd``
     banks it automatically stays exact (capped at ``log2(Mp)``).
     """
-    full = int(math.log2(bank.Mp))
+    full = max(1, (int(bank.Mp) - 1).bit_length())  # ceil(log2), any Mp
     t = float(bank.tdd.max())
     if t <= 0.0:
         return 1
@@ -119,6 +120,49 @@ def dchain_depth(bank: ProfileBank) -> int:
         return full
     run = math.log(1e-6) / math.log(t)
     return min(full, max(1, int(math.ceil(math.log2(max(2.0, run))))))
+
+
+def viterbi_log_tensors(bank: ProfileBank):
+    """Log-space emission/transition tensors for the max-plus pair kernels.
+
+    Slots 5 and 6 of the transition tuple do NOT carry ``log tmd`` /
+    ``log tdd``: the delete chain factorizes through the per-profile
+    prefix sum ``S_j = Σ_{k≤j} log tdd_k`` —
+
+        ``D_j = S_{j-1} + max_{i<j} (M_i + log tmd_i − S_i)``
+
+    so the kernel's per-residue work drops from a two-operand max-plus
+    doubling scan (2 lane-rolls per doubling step) to a plain prefix
+    MAX (1 roll per step), with ``S`` hoisted out of the residue loop
+    entirely.  Slot 5 holds ``log tmd − S`` and slot 6 holds
+    ``S_{j-1}``.  ``log tdd`` is clamped at −30 for the sum: interior
+    DD transitions are never zero in real banks (measured ≥0.1 on
+    Pfam-shaped profiles), zeros occur only at the last node and pad
+    lanes where the chain is dead anyway, and the clamp keeps ``S``
+    finite there (an unclamped −1e30 would cancel against pad-lane
+    emissions and resurrect dead lanes).
+    """
+    import jax.numpy as jnp
+
+    def logs(a):
+        with numpy.errstate(divide="ignore"):
+            return numpy.where(
+                a > 0, numpy.log(numpy.maximum(a, 1e-300)), NEG
+            ).astype(numpy.float32)
+
+    e_odds = jnp.asarray(logs(bank.e_odds))
+    log = [logs(a) for a in (
+        bank.tmm, bank.tim, bank.tdm, bank.tmi, bank.tii,
+        bank.tmd, bank.tdd, bank.bm,
+    )]
+    S = numpy.cumsum(
+        numpy.maximum(log[6], -30.0), axis=-1, dtype=numpy.float64,
+    ).astype(numpy.float32)
+    Sm1 = numpy.zeros_like(S)
+    Sm1[:, 1:] = S[:, :-1]
+    log[5] = log[5] - S
+    log[6] = Sm1
+    return e_odds, tuple(jnp.asarray(a) for a in log)
 
 
 class SeqPack:
@@ -164,7 +208,8 @@ class SeqPack:
         self.counts = jnp.asarray(counts)
         # one h2d transfer of int8 residues; widen on device
         self.xs = jnp.asarray(xs).astype(jnp.int32)
-        self.lens = jnp.asarray(lens)
+        self.lens_host = lens            # host copy: length-sorting and
+        self.lens = jnp.asarray(lens)    # accounting never pay a d2h trip
         self.loops_log = jnp.asarray(loops_log)
         self.moves_log = jnp.asarray(moves_log)
         self.loops_exp = jnp.exp(self.loops_log)
@@ -589,6 +634,147 @@ def _pallas_ssv_pair(P: int, Mp: int, Lp: int, S: int, Pc: int,
     return jax.jit(run)
 
 
+def _pallas_ssv_quad(P: int, Mp: int, Lp: int, S: int, Pc: int,
+                     interpret: bool, unroll: int = 8):
+    """SSV filter processing FOUR residues per lane-roll.
+
+    Extends the paired kernel's trick (see :func:`_pallas_ssv_pair`):
+    unrolling the recurrence four steps from ``A[k-4]`` needs ONE roll
+    of ``A`` by four lanes plus emission tables pre-shifted by 3, 2,
+    and 1 lanes.  Every intermediate is a lane-shifted version of a
+    true ``A`` row, so all of them fold into the running lane-max
+    ``G`` directly; ``cb0`` is lane-invariant so comparing shifted
+    intermediates against it is exact.  The shifted tables' leading
+    NEG lanes kill roll wrap-around, and lane ``Mp-1`` of ``A`` is NEG
+    on unmasked buckets (every profile strictly shorter than ``Mp``),
+    so the 4-lane wrap is junk-free.
+
+    Streaming four HBM tables would quadruple the double-buffered VMEM
+    footprint (measured OOM at Pc=920×256); instead the three shifted
+    tables are built IN KERNEL into persistent scratch, once per
+    profile chunk (63 rolls amortized over the whole sequence tile
+    axis), so the kernel keeps the paired variant's chunk budget.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_chunks = P // Pc
+    assert unroll % 4 == 0
+
+    def kernel(xs_ref, lens_ref, loops_ref, moves_ref, e_ref,
+               tbm_ref, out_ref, es1_ref, es2_ref, es3_ref):
+        # build the lane-shifted emission tables once per profile
+        # chunk: the sequence-tile grid axis (last = fastest) reuses
+        # them for every tile
+        @pl.when(pl.program_id(1) == 0)
+        def _build_tables():
+            lane = jax.lax.broadcasted_iota(jnp.int32, (Pc, Mp), 1)
+            for a in range(21):
+                e = e_ref[a]
+                for k, ref in ((1, es1_ref), (2, es2_ref), (3, es3_ref)):
+                    rolled = pltpu.roll(e, shift=k, axis=1)
+                    ref[a] = jnp.where(lane < k, NEG, rolled)
+
+        def one_sequence(s, _):
+            L = lens_ref[0, 0, s]
+            loop = loops_ref[0, 0, s]
+            move = moves_ref[0, 0, s]
+            cb0 = jnp.broadcast_to(tbm_ref[:] + move, (Pc, Mp))
+
+            def quadstep(i, carry):
+                A, G = carry
+                x0 = xs_ref[0, s, 4 * i]
+                x1 = xs_ref[0, s, 4 * i + 1]
+                x2 = xs_ref[0, s, 4 * i + 2]
+                x3 = xs_ref[0, s, 4 * i + 3]
+                rolled = pltpu.roll(A, shift=4, axis=1)
+                b1 = (es3_ref[x0] - loop) + jnp.maximum(rolled, cb0)
+                b2 = (es2_ref[x1] - loop) + jnp.maximum(b1, cb0)
+                b3 = (es1_ref[x2] - loop) + jnp.maximum(b2, cb0)
+                An = (e_ref[x3] - loop) + jnp.maximum(b3, cb0)
+                Gn = jnp.maximum(jnp.maximum(jnp.maximum(G, b1), b2),
+                                 jnp.maximum(b3, An))
+                return (An, Gn)
+
+            def substep(i, carry):
+                A, G = carry
+                xi = xs_ref[0, s, i]
+                shifted = pltpu.roll(A, shift=1, axis=1)
+                An = (e_ref[xi] - loop) + jnp.maximum(shifted, cb0)
+                return (An, jnp.maximum(G, An))
+
+            def block(b, carry):
+                i0 = b * (unroll // 4)
+                for u in range(unroll // 4):
+                    carry = quadstep(i0 + u, carry)
+                return carry
+
+            M0 = jnp.full((Pc, Mp), NEG, jnp.float32)
+            n_quads = L // 4
+            carry = jax.lax.fori_loop(
+                0, n_quads // (unroll // 4), block, (M0, M0))
+            carry = jax.lax.fori_loop(
+                (n_quads // (unroll // 4)) * (unroll // 4), n_quads,
+                quadstep, carry)
+            carry = jax.lax.fori_loop(4 * n_quads, L, substep, carry)
+            G = carry[1]
+            out_ref[s, :] = jnp.max(G, axis=1) + (
+                L.astype(jnp.float32) * loop + math.log(0.5) + move
+            )
+            return 0
+
+        jax.lax.fori_loop(0, S, one_sequence, 0)
+
+    def run(xs, lens, loops, moves, e_log, tbm):
+        St = xs.shape[0]
+        return pl.pallas_call(
+            kernel,
+            grid=(n_chunks, St),
+            in_specs=[
+                pl.BlockSpec((1, S, Lp), lambda c, t: (t, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, S), lambda c, t: (t, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, S), lambda c, t: (t, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, S), lambda c, t: (t, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((21, Pc, Mp), lambda c, t: (0, c, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((Pc, 1), lambda c, t: (c, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((S, Pc), lambda c, t: (t, c), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((St * S, P), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((21, Pc, Mp), jnp.float32),
+                pltpu.VMEM((21, Pc, Mp), jnp.float32),
+                pltpu.VMEM((21, Pc, Mp), jnp.float32),
+            ],
+            interpret=interpret,
+        )(xs, lens, loops, moves, e_log, tbm)
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_ssv_quad_packed(P: int, Mp: int, Lp: int, S: int, Pc: int,
+                            interpret: bool, unroll: int = 8):
+    """Device-array entry to the quad SSV kernel."""
+    import jax
+
+    inner = _pallas_ssv_quad(P, Mp, Lp, S, Pc, interpret, unroll)
+
+    def run(xs, lens, loops, moves, e_log, tbm):
+        n = xs.shape[0]
+        St = n // S
+        return inner(
+            xs.reshape(St, S, Lp),
+            lens.reshape(St, 1, S),
+            loops.reshape(St, 1, S),
+            moves.reshape(St, 1, S),
+            e_log, tbm,
+        )
+
+    return jax.jit(run)
+
+
 @functools.lru_cache(maxsize=None)
 def _pallas_ssv_pair_packed(P: int, Mp: int, Lp: int, S: int, Pc: int,
                             interpret: bool, unroll: int = 4):
@@ -656,8 +842,9 @@ class SSVKernel:
         self.seq_tile = seq_tile
         self.unroll = unroll
         self.masked = bool((bank.lengths >= bank.Mp).any())
-        # the 2-residues-per-roll variant holds a second (pre-shifted)
-        # emission table in VMEM — halve the per-chunk cell budget
+        # the 4-residues-per-roll variant builds its three extra
+        # (lane-shifted) emission tables in-kernel into scratch, so the
+        # streamed-block budget matches the 2-residue variant's
         budget = 65536 if self.masked else 32768
         self.Pc = _legal_pc(bank.P, bank.Mp, profile_chunk, budget)
         self.P_pad = _round_up(bank.P, self.Pc)
@@ -712,12 +899,12 @@ class SSVKernel:
     def scores_packed(self, pack: SeqPack, interpret: bool = False):
         """Device-resident scores ``[pack.n, P_pad]`` — no transfers."""
         if not self.masked:
-            fn = _pallas_ssv_pair_packed(
+            fn = _pallas_ssv_quad_packed(
                 self.P_pad, self.bank.Mp, pack.Lp, self.seq_tile,
                 self.Pc, _auto_interpret(interpret), self.unroll,
             )
             return fn(pack.xs, pack.lens, pack.loops_log, pack.moves_log,
-                      self.e_log, self.e_shift, self.tbm)
+                      self.e_log, self.tbm)
         fn = _pallas_filter_packed(
             "ssv", self.P_pad, self.bank.Mp, pack.Lp, self.seq_tile,
             self.Pc, self.masked, _auto_interpret(interpret),
@@ -902,7 +1089,12 @@ def _pallas_fwd(P: int, Mp: int, Lp: int, S: int, Pc: int, masked: bool,
                 In = add(M * tmi, I * tii)
                 Dn = dchain(Mn)
                 if viterbi:
-                    E = jnp.max(jnp.maximum(Mn, Dn), axis=1, keepdims=True)
+                    # max Dn <= max Mn always (every Dn entry is an
+                    # Mn_i scaled by transition probs <= 1), so the D
+                    # plane never raises the lane max — drop it from
+                    # the E reduction (exactness shared with the log-
+                    # space ILP kernel; see its comment)
+                    E = jnp.max(Mn, axis=1, keepdims=True)
                 else:
                     E = jnp.sum(Mn + Dn, axis=1, keepdims=True)  # [Pc, 1]
                 Jn = add(J * loop, E * 0.5)
@@ -1023,7 +1215,8 @@ def _pallas_pair_fwd(Mp: int, Lp: int, C: int, masked: bool, interpret: bool,
             In = add(M * tmi, I * tii)
             Dn = dchain(Mn)
             if viterbi:
-                E = jnp.max(jnp.maximum(Mn, Dn), axis=1, keepdims=True)
+                # max Dn <= max Mn always — see the ILP kernel comment
+                E = jnp.max(Mn, axis=1, keepdims=True)
             else:
                 E = jnp.sum(Mn + Dn, axis=1, keepdims=True)  # [C, 1]
             Jn = add(J * loop, E * 0.5)
@@ -1108,9 +1301,15 @@ def _pallas_pair_fwd_ilp(Mp: int, Lp: int, C: int, masked: bool, interpret: bool
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    n_doubling = nd if nd is not None else int(math.log2(Mp))
-    assert 1 << int(math.log2(Mp)) == Mp, "Mp must be a power of two"
-    assert rows_per_cell in (2, 4) and 8 % rows_per_cell == 0
+    n_doubling = nd if nd is not None else max(1, (Mp - 1).bit_length())
+    if log_space:
+        # the prefix-MAX delete chain has no doubling-combine step, so
+        # any 128-lane-multiple width is legal (the viterbi buckets use
+        # 384/768/1536 rungs to cut Mp padding — docs/kernels.md)
+        assert Mp % 128 == 0, "Mp must be a multiple of 128"
+    else:
+        assert 1 << int(math.log2(Mp)) == Mp, "Mp must be a power of two"
+    assert rows_per_cell in (2, 4, 8) and 8 % rows_per_cell == 0
     assert not log_space or viterbi, "log space is the max-plus semiring"
     R2 = rows_per_cell
     add = jnp.maximum if viterbi else (lambda a, b: a + b)
@@ -1135,7 +1334,9 @@ def _pallas_pair_fwd_ilp(Mp: int, Lp: int, C: int, masked: bool, interpret: bool
                 tmm_ref, tim_ref, tdm_ref, tmi_ref, tii_ref,
                 tmd_ref, tdd_ref, bm_ref,
             ))
-            tdd_shifted = shift1(trans[6])
+            # log space reads slots 5/6 as (tmd - S, S_{j-1}) — see
+            # viterbi_log_tensors — and needs no shifted-tdd plane
+            tdd_shifted = None if log_space else shift1(trans[6])
             row = R2 * j + r
             start = starts_ref[0, 0, row]
             end = ends_ref[0, 0, row]
@@ -1149,24 +1350,25 @@ def _pallas_pair_fwd_ilp(Mp: int, Lp: int, C: int, masked: bool, interpret: bool
             n_res = jnp.maximum(n_res, rd[4] - rd[3])
 
         if log_space:
-            # max-plus in LOG space: no per-step rescale, no 1/x, no log
-            def dchain(m_new, tmd, tdd_shifted):
-                a = tdd_shifted
-                b = shift1(m_new + tmd)
+            # max-plus in LOG space: no per-step rescale, no 1/x, no
+            # log — and the delete chain factorizes through the
+            # precomputed prefix sum S of log tdd (viterbi_log_tensors):
+            #   D_j = S_{j-1} + max_{i<j} (Mn_i + tmd_i - S_i)
+            # so the per-step scan is a plain prefix MAX: one roll per
+            # doubling step instead of two, with the same 2^nd window
+            # as the two-operand scan it replaces.
+            def dchain(m_new, tmdS, Sm1):
+                w = shift1(m_new + tmdS)
                 shift = 1
                 for _ in range(n_doubling):
-                    rolled_a = pltpu.roll(a, shift=shift, axis=1)
-                    rolled_b = pltpu.roll(b, shift=shift, axis=1)
-                    mask = lane >= shift
-                    prev_a = jnp.where(mask, rolled_a, 0.0)
-                    prev_b = jnp.where(mask, rolled_b, NEG)
-                    b = jnp.maximum(prev_b + a, b)
-                    a = prev_a + a
+                    rolled = pltpu.roll(w, shift=shift, axis=1)
+                    w = jnp.maximum(
+                        w, jnp.where(lane >= shift, rolled, NEG))
                     shift *= 2
-                return b
+                return w + Sm1
 
             def step_row(k, carry, row_data):
-                (tmm, tim, tdm, tmi, tii, tmd, tdd, bm), tdd_shifted, \
+                (tmm, tim, tdm, tmi, tii, tmdS, Sm1, bm), _unused, \
                     row, start, end, loop, move, r = row_data
                 M, I, D, N, B, J, Cc = carry
                 alive = k < end - start
@@ -1176,8 +1378,14 @@ def _pallas_pair_fwd_ilp(Mp: int, Lp: int, C: int, masked: bool, interpret: bool
                                           D + tdm))
                 Mn = e + jnp.maximum(stay, B + bm)
                 In = jnp.maximum(M + tmi, I + tii)
-                Dn = dchain(Mn, tmd, tdd_shifted)
-                E = jnp.max(jnp.maximum(Mn, Dn), axis=1, keepdims=True)
+                Dn = dchain(Mn, tmdS, Sm1)
+                # E = max(max Mn, max Dn) collapses to max Mn EXACTLY:
+                # every Dn entry is some Mn_i + tmd_i + Σ tdd (all log
+                # probs <= 0), so the D plane never raises the lane max
+                # — and the E -> J/C/B chain no longer waits on the
+                # delete-chain scan (they run as parallel dependency
+                # chains within the step)
+                E = jnp.max(Mn, axis=1, keepdims=True)
                 Elm = E + math.log(0.5)
                 Jn = jnp.maximum(J + loop, Elm)
                 Cn = jnp.maximum(Cc + loop, Elm)
@@ -1218,7 +1426,12 @@ def _pallas_pair_fwd_ilp(Mp: int, Lp: int, C: int, masked: bool, interpret: bool
                 In = add(M * tmi, I * tii)
                 Dn = dchain(Mn, tmd, tdd_shifted)
                 if viterbi:
-                    E = jnp.max(jnp.maximum(Mn, Dn), axis=1, keepdims=True)
+                    # max Dn <= max Mn always (every Dn entry is an
+                    # Mn_i scaled by transition probs <= 1), so the D
+                    # plane never raises the lane max — drop it from
+                    # the E reduction (exactness shared with the log-
+                    # space ILP kernel; see its comment)
+                    E = jnp.max(Mn, axis=1, keepdims=True)
                 else:
                     E = jnp.sum(Mn + Dn, axis=1, keepdims=True)
                 Jn = add(J * loop, E * 0.5)
@@ -1364,18 +1577,9 @@ class PairForwardKernel:
         self.nd = dchain_depth(bank)
         if viterbi:
             # max-plus runs in LOG space (no per-step rescale, no
-            # transcendentals): upload log-odds/log-transition tensors
-            def logs(a):
-                with numpy.errstate(divide="ignore"):
-                    return jnp.asarray(numpy.where(
-                        a > 0, numpy.log(numpy.maximum(a, 1e-300)), NEG
-                    ).astype(numpy.float32))
-
-            self.e_odds = logs(bank.e_odds)
-            self.trans = tuple(logs(a) for a in (
-                bank.tmm, bank.tim, bank.tdm, bank.tmi, bank.tii,
-                bank.tmd, bank.tdd, bank.bm,
-            ))
+            # transcendentals); slots 5/6 carry the prefix-sum-factored
+            # delete-chain tensors (see viterbi_log_tensors)
+            self.e_odds, self.trans = viterbi_log_tensors(bank)
         else:
             self.e_odds = jnp.asarray(bank.e_odds)
             self.trans = tuple(jnp.asarray(a) for a in (
@@ -1438,9 +1642,16 @@ class PairForwardKernel:
         # the multi-row ILP kernel multiplies the per-cell emission/
         # transition VMEM footprint by rows_per_cell; rows x C x Mp =
         # 32k is the measured fit boundary at 16 MB scoped VMEM, so
-        # narrow cells interleave 4 rows, mid cells 2, wide cells 1
+        # narrow cells interleave up to 8 rows, mid cells 4/2, wide 1
         cell = C * self.bank.Mp
-        rpc = 4 if cell <= 8192 else (2 if cell <= 16384 else 1)
+        rpc = next((r for r in (8, 4, 2) if r * cell <= 32768), 1)
+        if os.environ.get("GECCO_LOG_PAIR_SHAPES"):
+            import sys as _sys
+
+            lens_np = pack.lens_host[numpy.asarray(rows_p)[:R]]
+            print(f"# pair-shape Mp={self.bank.Mp} C={C} R={R} rpc={rpc} "
+                  f"Lsum={int(lens_np.sum())} viterbi={self.viterbi}",
+                  file=_sys.stderr)
         # Viterbi ILP cells run max-plus in LOG space (the tensors this
         # kernel holds for viterbi=True); wide single-row cells keep
         # the prob-space kernel and need probability tensors
@@ -2376,9 +2587,13 @@ class PairBucketed:
         for i, m in enumerate(bank.lengths):
             # exclusive cap (M < cap), as in Bucketed: no lane-0 masking;
             # power-of-two width for the delete-chain doubling scan.
-            # (Merging the 128-lane bucket upward to widen survivor rows
-            # was tried and measured NET SLOWER on the full bench: the
-            # extra padded lanes outweigh the wider-block rate gain.)
+            # (Two bucket-ladder variants were tried and measured NET
+            # SLOWER on the full bench: merging the 128-lane bucket
+            # upward to widen survivor rows — extra padded lanes beat
+            # the wider-block gain — and 128-multiple rungs
+            # (384/768/1536) for the log-space Viterbi path, which cut
+            # padded cells but ran slower per cell on non-power-of-two
+            # lane widths, F2 1.54 s → 1.74 s.)
             cap = _round_up(max(8, int(m) + 1), lane)
             cap = max(min_width, 1 << (cap - 1).bit_length())
             caps.setdefault(cap, []).append(i)
@@ -2471,6 +2686,11 @@ class PairBucketed:
             # would pay the remote-device round-trip latency serially
             # (the same pipelining `Bucketed.masks` does)
             for C0, wrows in sorted(by_width.items()):
+                # sort rows by sequence length: the multi-row ILP cells
+                # run every row to the CELL's longest sequence, so
+                # mixed-length cells burn (max - mean) dead cycles per
+                # row — sorted tiling makes max ≈ mean within a cell
+                wrows.sort(key=lambda row: int(pack.lens_host[seq_rows[row[0]]]))
                 group = max(256, (2048 << 20) // (21 * C0 * kern.bank.Mp * 4))
                 for g0 in range(0, len(wrows), group):
                     grows = wrows[g0 : g0 + group]

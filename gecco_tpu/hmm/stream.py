@@ -1263,7 +1263,9 @@ class StreamScores:
 
         t_pack = time.perf_counter()
         interp = _auto_interpret(interpret)
-        lens_of = numpy.asarray(pack.lens)
+        lens_of = getattr(pack, 'lens_host', None)
+        if lens_of is None:
+            lens_of = numpy.asarray(pack.lens)
         out_s: List["numpy.ndarray"] = []
         out_p: List["numpy.ndarray"] = []
         out_v: List["numpy.ndarray"] = []

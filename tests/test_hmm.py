@@ -871,3 +871,22 @@ def test_stream_domains_narrow_pack_never_truncates(profiles, sequences):
     expected = engine.define_domains(profiles[pairs[0][1]], xs[0])
     assert [(a.ienv, a.jenv) for a in got[pairs[0]]] == [
         (b.ienv, b.jenv) for b in expected]
+
+
+def test_pallas_ssv_quad_matches_host(profiles, sequences):
+    """The 4-residues-per-roll packed SSV path (scores_packed: in-kernel
+    shifted scratch tables, roll-by-4) equals the host engine, including
+    sequences whose length is not a multiple of 4 (the substep tail)."""
+    from gecco_tpu.hmm.kernels import SSVKernel, SeqPack
+
+    bank = batch.ProfileBank.build(profiles)
+    xs = [x for _, x in sequences]
+    assert any(len(x) % 4 for x in xs), "need a non-multiple-of-4 length"
+    kern = SSVKernel(bank, seq_tile=4, profile_chunk=8)
+    assert not kern.masked
+    pack = SeqPack(xs, 1 << (max(len(x) for x in xs) - 1).bit_length())
+    scores = numpy.asarray(kern.scores_packed(pack, interpret=True))
+    for s, x in enumerate(xs):
+        for p, gm in enumerate(profiles):
+            reference = engine.ssv_score(gm, x)
+            assert scores[s, p] == pytest.approx(reference, abs=5e-3), (s, p)
