@@ -31,7 +31,22 @@ The headline number is STEADY-STATE batch throughput: gene calling of
 genome k+1 runs on the host (C++ core, GIL released) while the chip
 searches genome k (``gecco_tpu.parallel.pipelined_map``), measured
 over a 3-genome pipeline after warmup; the sequential single-genome
-latency is reported alongside on stderr.
+latency is reported alongside on stderr AND in the JSON
+(``"sequential_seconds_per_genome"``) so downstream consumers can
+compare like-for-like with pre-pipelining rounds.
+
+A second config measures the METAGENOME shape (BASELINE.md config #3):
+the same genome-equivalent of sequence split into ~tens of contigs
+with lognormal lengths (2–200 kb), driving the ragged paths — per-
+contig gene calling (preset gate/fallback for <100 kb contigs, thread
+pool), one search over all called proteins, and the per-contig CRF
+window batch.  Its results are embedded in the stdout JSON under
+``"metagenome"`` (stdout stays ONE line for the driver) and printed as
+a standalone JSON line on stderr.
+
+When more than one accelerator is attached, one multi-device search
+(``SearchPipeline(devices="all")``) also runs and its wall seconds are
+embedded under ``"multi_device"`` (single-chip environments skip it).
 
 Baseline: the reference (pyrodigal/pyhmmer/CRFsuite on a multicore CPU
 node) runs ``gecco run`` at roughly 40 genomes/hour (≈90 s/genome); no
@@ -90,6 +105,98 @@ def _bench_host_stage(genome: str):
             prepared[i] = plant_domain(
                 prepared[i], gm, rng, max_len=min(150, gm.M))
     return prepared
+
+
+def _bench_metagenome(pipeline, profiles, trans, marginals_jax, jnp):
+    """One genome-equivalent as ragged contigs through the full path.
+
+    Contig gene counts are lognormal (median ~30 genes ≈ 30 kb, clipped
+    to 2–200) until the nominal genome's genes are covered — the real
+    metagenome length histogram shape.  Contigs under 100 kb take the
+    preset-gate/fallback calling path; the search sees the same protein
+    count with ragged per-contig chains; the CRF decodes the union of
+    per-contig windows in one batch (short contigs pad to W like the
+    production ``ClusterCRF.predict_probabilities``).
+    """
+    from gecco_tpu.hmm.io import encode_sequence
+    from gecco_tpu.hmm.synthetic import plant_domain, synthetic_genome
+    from gecco_tpu.orf.scan import ScanFinder
+    from gecco_tpu.seq import Seq, SeqRecord
+
+    rng = numpy.random.default_rng(12)
+    gene_counts = []
+    while sum(gene_counts) < GENOME_GENES:
+        gene_counts.append(int(numpy.clip(
+            numpy.round(rng.lognormal(numpy.log(30.0), 1.0)), 2, 200)))
+    records = [
+        SeqRecord(id=f"ctg{i}", seq=Seq(synthetic_genome(g, seed=100 + i)))
+        for i, g in enumerate(gene_counts)
+    ]
+    total_bp = sum(len(r.seq) for r in records)
+    finder = ScanFinder()
+    genes = list(finder.find_genes(records))  # warm
+    t_orf = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        genes = list(finder.find_genes(records))
+        t_orf = min(t_orf, time.perf_counter() - t0)
+
+    seqs = [encode_sequence(str(g.protein.seq))[:512] for g in genes]
+    rng = numpy.random.default_rng(7)
+    for i in range(len(seqs)):
+        if i % 4 != 3:
+            gm = profiles[(i * 13) % len(profiles)]
+            seqs[i] = plant_domain(seqs[i], gm, rng, max_len=min(150, gm.M))
+
+    pipeline.search(seqs)  # warm the ragged shapes
+    t0 = time.perf_counter()
+    hits = pipeline.search(seqs)
+    t_search = time.perf_counter() - t0
+    stages = {
+        name: {
+            "seconds": round(pipeline.stage_seconds.get(name, 0.0), 3),
+            "gcells": round(pipeline.stage_cells.get(name, 0.0) / 1e9, 3),
+            "gcells_per_s": round(
+                pipeline.stage_cells.get(name, 0.0) / 1e9
+                / max(pipeline.stage_seconds.get(name, 0.0), 1e-9), 1),
+        }
+        for name in pipeline.stage_seconds
+    }
+
+    # per-contig CRF window batch (pad short chains to W, stack all)
+    W = 20
+    rng = numpy.random.default_rng(0)
+    per_contig = {}
+    for g, rec in zip(gene_counts, records):
+        n = sum(1 for x in genes if x.source.id == rec.id)
+        per_contig[rec.id] = max(n, 1)
+    windows = []
+    for n in per_contig.values():
+        em = rng.normal(size=(max(n, W), 2)).astype(numpy.float32) * 2.0
+        idx = (numpy.arange(len(em) - W + 1)[:, None]
+               + numpy.arange(W)[None, :])
+        windows.append(em[idx])
+    stacked = numpy.concatenate(windows)
+    float(jnp.sum(marginals_jax(stacked, trans)))  # compile this batch size
+    t0 = time.perf_counter()
+    float(jnp.sum(marginals_jax(stacked, trans)))
+    t_crf = time.perf_counter() - t0
+
+    scale = GENOME_PROTEINS / max(len(seqs), 1)
+    seconds = (t_orf + t_search) * scale + t_crf
+    return {
+        "value": round(3600.0 / seconds, 2),
+        "unit": "genomes/hour",
+        "contigs": len(records),
+        "total_bp": total_bp,
+        "genes": len(genes),
+        "hits": len(hits),
+        "orf_seconds": round(t_orf, 3),
+        "search_seconds": round(t_search, 3),
+        "crf_seconds": round(t_crf, 3),
+        "windows": int(stacked.shape[0]),
+        "stages": stages,
+    }
 
 
 def main() -> None:
@@ -238,6 +345,43 @@ def main() -> None:
         assert len(out) > 0
     t_pipelined = (time.perf_counter() - t0) / PIPELINE_GENOMES
 
+    # ---- optional multi-device search (guarded: most environments
+    # attach one chip; with N>1 this keeps the sharded path warm and
+    # records its aggregate wall)
+    multi_device = None
+    if len(jax.local_devices()) > 1:
+        multi = SearchPipeline(
+            profiles, Z=N_PROFILES, domZ=N_PROFILES, devices="all")
+        multi.search(seqs)  # compile/warm the sharded dispatch
+        t0 = time.perf_counter()
+        multi_hits = multi.search(seqs)
+        t_multi = time.perf_counter() - t0
+        multi_device = {
+            "devices": multi.stage_devices,
+            "seconds": round(t_multi, 3),
+            "hits": len(multi_hits),
+            # stage_seconds is the slowest device's wall; stage_cells
+            # sums across devices, so cells/seconds here is the
+            # AGGREGATE rate of all chips (see SearchPipeline docs)
+            "stages": {
+                name: {
+                    "seconds": round(multi.stage_seconds.get(name, 0.0), 3),
+                    "gcells": round(
+                        multi.stage_cells.get(name, 0.0) / 1e9, 3),
+                }
+                for name in multi.stage_seconds
+            },
+        }
+
+    # ---- metagenome config: the same genome-equivalent as ragged
+    # contigs (lognormal 2-200 kb), per-contig gene calling + one
+    # search + the per-contig CRF window batch, measured sequentially
+    metagenome = None
+    if (os.environ.get("GECCO_BENCH_METAGENOME", "1") != "0"
+            and time.perf_counter() - wall0 < 0.8 * BUDGET_S):
+        metagenome = _bench_metagenome(
+            pipeline, profiles, trans, marginals_jax, jnp)
+
     # a "genome" is nominally 3,000 proteins; the caller finds ~that
     # many in the 3 Mbp contig, so the scale factor is ~1
     scale = GENOME_PROTEINS / len(seqs)
@@ -250,9 +394,16 @@ def main() -> None:
         "unit": "genomes/hour",
         "vs_baseline": round(genomes_per_hour / BASELINE_GENOMES_PER_HOUR, 2),
         "parity": parity,
+        "seconds_per_genome": round(seconds_per_genome, 3),
+        "sequential_seconds_per_genome": round(sequential, 3),
         "stages": stages,
+        "metagenome": metagenome,
+        "multi_device": multi_device,
     }
     print(json.dumps(result))
+    if metagenome is not None:
+        print(json.dumps({"metric": "metagenome_genomes/hour/chip",
+                          **metagenome}), file=sys.stderr)
     counts = pipeline.stage_counts
     print(
         f"# orf={t_orf:.2f}s ({len(genes)} genes / {len(genome)} bp) "
