@@ -135,12 +135,17 @@ def viterbi_log_tensors(bank: ProfileBank):
     doubling scan (2 lane-rolls per doubling step) to a plain prefix
     MAX (1 roll per step), with ``S`` hoisted out of the residue loop
     entirely.  Slot 5 holds ``log tmd − S`` and slot 6 holds
-    ``S_{j-1}``.  ``log tdd`` is clamped at −30 for the sum: interior
-    DD transitions are never zero in real banks (measured ≥0.1 on
-    Pfam-shaped profiles), zeros occur only at the last node and pad
-    lanes where the chain is dead anyway, and the clamp keeps ``S``
-    finite there (an unclamped −1e30 would cancel against pad-lane
-    emissions and resurrect dead lanes).
+    ``S_{j-1}``.  ``log tdd`` is clamped at −1e4 for the sum: the
+    clamp keeps ``S`` finite where ``tdd = 0`` (an unclamped −1e30
+    would cancel against pad-lane emissions and resurrect dead
+    lanes).  In real banks zeros occur only at the last node and pad
+    lanes, where the chain is dead anyway; for a hand-built bank with
+    an INTERIOR zero DD transition, a path crossing the wall is
+    charged 1e4 nats per crossing — far below any representable
+    competitor (scores span ±1e3), so decisions match the exact NEG
+    chain; the f32 cancellation cost is ``eps·1e4 ≈ 6e-4`` nats per
+    crossed wall on downstream lanes (inside the 5e-3 parity gate for
+    up to a handful of walls).
     """
     import jax.numpy as jnp
 
@@ -156,7 +161,7 @@ def viterbi_log_tensors(bank: ProfileBank):
         bank.tmd, bank.tdd, bank.bm,
     )]
     S = numpy.cumsum(
-        numpy.maximum(log[6], -30.0), axis=-1, dtype=numpy.float64,
+        numpy.maximum(log[6], -1e4), axis=-1, dtype=numpy.float64,
     ).astype(numpy.float32)
     Sm1 = numpy.zeros_like(S)
     Sm1[:, 1:] = S[:, :-1]
@@ -857,10 +862,18 @@ class SSVKernel:
             tbm[: bank.P, 0] = numpy.log(bank.msv_tbm)
         self.e_log = jnp.asarray(e_log)
         self.tbm = jnp.asarray(tbm)
-        if not self.masked:
+        # the quad kernel's shifted intermediates drop lanes Mp-1..Mp-3
+        # of the true DP rows from the lane-max fold, so it is exact
+        # only with >=3 trailing pad lanes on EVERY profile (Bucketed
+        # guarantees 4; standalone banks may not) — else the 2-residue
+        # kernel (1 pad lane) or the plain kernel (masked) runs
+        self.quad = bool(
+            bank.P == 0 or int(bank.lengths.max()) <= bank.Mp - 3)
+        self._e_shift = None   # only the (fallback) pair path reads it
+        if not self.masked and not self.quad:
             e_shift = numpy.full_like(e_log, NEG)
             e_shift[:, :, 1:] = e_log[:, :, :-1]
-            self.e_shift = jnp.asarray(e_shift)
+            self._e_shift = jnp.asarray(e_shift)
 
     def __call__(self, sequences, pad_to=None, interpret=False):
         import jax.numpy as jnp
@@ -898,13 +911,20 @@ class SSVKernel:
 
     def scores_packed(self, pack: SeqPack, interpret: bool = False):
         """Device-resident scores ``[pack.n, P_pad]`` — no transfers."""
-        if not self.masked:
+        if not self.masked and self.quad:
             fn = _pallas_ssv_quad_packed(
                 self.P_pad, self.bank.Mp, pack.Lp, self.seq_tile,
                 self.Pc, _auto_interpret(interpret), self.unroll,
             )
             return fn(pack.xs, pack.lens, pack.loops_log, pack.moves_log,
                       self.e_log, self.tbm)
+        if not self.masked:
+            fn = _pallas_ssv_pair_packed(
+                self.P_pad, self.bank.Mp, pack.Lp, self.seq_tile,
+                self.Pc, _auto_interpret(interpret), self.unroll,
+            )
+            return fn(pack.xs, pack.lens, pack.loops_log, pack.moves_log,
+                      self.e_log, self._e_shift, self.tbm)
         fn = _pallas_filter_packed(
             "ssv", self.P_pad, self.bank.Mp, pack.Lp, self.seq_tile,
             self.Pc, self.masked, _auto_interpret(interpret),
@@ -934,9 +954,15 @@ class Bucketed:
         self.buckets = []
         caps = {}
         for i, m in enumerate(bank.lengths):
-            # exclusive cap (M < cap): the guaranteed trailing pad lane
-            # lets kernels skip lane-0 masking of the node shift
-            cap = _round_up(max(8, int(m) + 1), lane)
+            # exclusive cap with FOUR guaranteed trailing pad lanes
+            # (M <= cap-4): one pad lane lets kernels skip lane-0
+            # masking of the node shift, and the quad SSV kernel's
+            # lane-max fold needs lanes Mp-1..Mp-3 dead — its shifted
+            # intermediates lose those lanes of the true DP rows, so a
+            # profile within 2 nodes of the cap scored low at some
+            # residue phases (found by review repro: M=127/Mp=128
+            # consensus plant, 261.99 -> 257.74)
+            cap = _round_up(max(8, int(m) + 4), lane)
             if pow2:
                 # the Forward/Viterbi delete-chain doubling scan
                 # requires power-of-two padded widths

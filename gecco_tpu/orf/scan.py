@@ -616,7 +616,6 @@ class ScanFinder(ORFFinder):
         self,
         models: Sequence[_Model],
         strands: Sequence[_StrandData],
-        views: dict,
         merged: List[_Candidate],
         assign: Callable[[Sequence["numpy.ndarray"]], None],
     ) -> List[_Candidate]:
@@ -675,7 +674,11 @@ class ScanFinder(ORFFinder):
             seq, strands, merged, assign, pos_scores)
         if not bank:
             return fallback
-        preset_sel = self._compete(bank, strands, views, merged, assign)
+        # the preset competition reassigns every view's score; snapshot
+        # the fallback winners' scores so a fallback return hands back
+        # the values it was actually selected under
+        fallback_scores = [(c, c.score) for c in fallback]
+        preset_sel = self._compete(bank, strands, merged, assign)
         pos_of = {
             id(view): float(value)
             for s, values in zip(strands, pos_scores)
@@ -684,6 +687,8 @@ class ScanFinder(ORFFinder):
         preset_total = sum(pos_of[id(c)] for c in preset_sel)
         fallback_total = sum(pos_of[id(c)] for c in fallback)
         if fallback_total > max(preset_total, 0.0) * FIT_MARGIN:
+            for candidate, value in fallback_scores:
+                candidate.score = value
             return fallback
         return preset_sel
 
@@ -808,13 +813,13 @@ class ScanFinder(ORFFinder):
                     view.score = float(value)
 
         if model is not None:
-            selected = self._compete([model], strands, views, merged, assign)
+            selected = self._compete([model], strands, merged, assign)
         elif n < SELF_TRAIN_MIN:
             selected = self._call_short_contig(
                 seq, strands, views, merged, assign)
         else:
             selected = self._compete(
-                [self._fit_model(strands)], strands, views, merged, assign)
+                [self._fit_model(strands)], strands, merged, assign)
         selected.sort(key=lambda c: (c.start, c.end))
         for i, candidate in enumerate(selected):
             if candidate.strand == 1:

@@ -890,3 +890,41 @@ def test_pallas_ssv_quad_matches_host(profiles, sequences):
         for p, gm in enumerate(profiles):
             reference = engine.ssv_score(gm, x)
             assert scores[s, p] == pytest.approx(reference, abs=5e-3), (s, p)
+
+
+def test_quad_ssv_near_cap_profile_exact():
+    """Review repro (round 5): a profile within 2 nodes of the padded
+    width drops its tail lanes from the quad kernel's lane-max fold
+    (shifted intermediates lose lanes Mp-3..Mp-1).  The kernel gate
+    must route such banks to the exact 2-residue path, and the
+    Bucketed construction must leave >=3 trailing pad lanes so the
+    production filter always takes the quad path safely."""
+    from gecco_tpu.hmm.calibrate import calibrate
+    from gecco_tpu.hmm.kernels import Bucketed, SeqPack, SSVKernel
+    from gecco_tpu.hmm.synthetic import synthetic_profiles
+
+    (gm,) = synthetic_profiles(1, min_length=127, max_length=127, seed=3)
+    assert gm.M == 127
+    bank = batch.ProfileBank.build([gm])
+    assert bank.Mp == 128
+    kern = SSVKernel(bank, seq_tile=4, profile_chunk=8)
+    assert not kern.masked and not kern.quad   # near-cap -> pair path
+    rng = numpy.random.default_rng(0)
+    # consensus planted at several offsets: the best SSV diagonal ends
+    # at the LAST model node at varying residue phases
+    xs = []
+    for off in range(5):
+        x = rng.integers(0, 20, 200).astype(numpy.int32)
+        cons = numpy.argmax(gm.hmm.match[1:, :20], axis=1)
+        x[off : off + len(cons)] = cons
+        xs.append(x)
+    pack = SeqPack(xs, 256)
+    scores = numpy.asarray(kern.scores_packed(pack, interpret=True))
+    for s, x in enumerate(xs):
+        reference = engine.ssv_score(gm, x)
+        assert scores[s, 0] == pytest.approx(reference, abs=5e-3), s
+    # the production bucket construction guarantees the quad gate
+    buckets = Bucketed(SSVKernel, bank)
+    for _idx, sub in buckets.buckets:
+        assert int(sub.bank.lengths.max()) <= sub.bank.Mp - 3
+        assert sub.quad
