@@ -167,7 +167,7 @@ def _bench_metagenome(pipeline, profiles, trans, marginals_jax, jnp):
     W = 20
     rng = numpy.random.default_rng(0)
     per_contig = {}
-    for g, rec in zip(gene_counts, records):
+    for rec in records:
         n = sum(1 for x in genes if x.source.id == rec.id)
         per_contig[rec.id] = max(n, 1)
     windows = []

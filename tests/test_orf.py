@@ -336,3 +336,30 @@ def test_native_matches_python_enumeration():
     finally:
         _native.native_hexamer_counts = backup_hex
     assert np.array_equal(native_counts, python_counts)
+
+
+def test_short_contig_edge_cases():
+    """The short-contig fallback never crashes on degenerate input:
+    no candidates at all, all-N runs with mask=True, and a contig just
+    above MIN_GENE."""
+    from gecco_tpu.seq import Seq, SeqRecord
+
+    # stop-dense junk: every forward frame stops every few codons (the
+    # reverse strand of a repeat can still hold a legitimate open
+    # frame, so only boundedness is asserted, not emptiness)
+    junk = ("TAATAGTGA" * 40)[:360]
+    records = [SeqRecord(id="junk", seq=Seq(junk))]
+    assert len(list(ScanFinder().find_genes(records))) <= 2
+    assert len(list(ScanFinder(presets=[]).find_genes(records))) <= 2
+
+    # mask=True with a long N run in the middle
+    masked = "ATG" + "GCT" * 40 + "N" * 80 + "GCA" * 40 + "TAA"
+    records = [SeqRecord(id="n", seq=Seq(masked))]
+    genes = list(ScanFinder(mask=True, presets=[]).find_genes(records))
+    for g in genes:   # nothing may span the masked run
+        assert g.end <= 124 or g.start > 204
+
+    # contig barely above the minimum gene size
+    tiny = "ATG" + "GCT" * 30 + "TAA"
+    records = [SeqRecord(id="tiny", seq=Seq(tiny))]
+    list(ScanFinder(presets=[]).find_genes(records))  # must not raise
