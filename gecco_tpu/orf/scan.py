@@ -777,16 +777,25 @@ class ScanFinder(ORFFinder):
         cpus = self.cpus if self.cpus > 0 else (os.cpu_count() or 1)
         large = [i for i, r in enumerate(records)
                  if len(r.seq) >= SELF_TRAIN_MIN]
-        results: dict = {}
         if cpus > 1 and len(large) > 1:
+            # large contigs run in the pool while the main thread works
+            # through the short ones in between; results stream in
+            # input order (each get() blocks only for its own record)
             with ThreadPool(min(cpus, len(large))) as pool:
-                for i, genes in zip(large, pool.imap(
-                        lambda k: process(records[k]), large)):
-                    results[i] = genes
-        for i, record in enumerate(records):
-            genes = results[i] if i in results else process(record)
-            _progress(record, len(genes))
-            yield from genes
+                pending = {
+                    i: pool.apply_async(process, (records[i],))
+                    for i in large
+                }
+                for i, record in enumerate(records):
+                    genes = (pending[i].get() if i in pending
+                             else process(record))
+                    _progress(record, len(genes))
+                    yield from genes
+        else:
+            for record in records:
+                genes = process(record)
+                _progress(record, len(genes))
+                yield from genes
 
     def _find_in_record(
         self, record: SeqRecord, model: Optional[_Model] = None

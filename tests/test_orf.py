@@ -356,10 +356,31 @@ def test_short_contig_edge_cases():
     masked = "ATG" + "GCT" * 40 + "N" * 80 + "GCA" * 40 + "TAA"
     records = [SeqRecord(id="n", seq=Seq(masked))]
     genes = list(ScanFinder(mask=True, presets=[]).find_genes(records))
-    for g in genes:   # nothing may span the masked run
-        assert g.end <= 124 or g.start > 204
+    # the N run is 1-based 124..203; nothing may touch it
+    for g in genes:
+        assert g.end < 124 or g.start > 203
 
     # contig barely above the minimum gene size
     tiny = "ATG" + "GCT" * 30 + "TAA"
     records = [SeqRecord(id="tiny", seq=Seq(tiny))]
     list(ScanFinder(presets=[]).find_genes(records))  # must not raise
+
+
+def test_threaded_large_contigs_match_serial():
+    """>=100 kb contigs run in the thread pool (short ones serially in
+    between); results must stream in input order and equal the serial
+    schedule's output exactly."""
+    from gecco_tpu.hmm.synthetic import synthetic_genome
+    from gecco_tpu.seq import Seq, SeqRecord
+
+    records = [
+        SeqRecord(id="big1", seq=Seq(synthetic_genome(120, seed=31))),
+        SeqRecord(id="small", seq=Seq(synthetic_genome(10, seed=32))),
+        SeqRecord(id="big2", seq=Seq(synthetic_genome(110, seed=33))),
+    ]
+    assert len(records[0].seq) >= 100_000 and len(records[2].seq) >= 100_000
+    serial = [(g.source.id, g.start, g.end)
+              for g in ScanFinder(cpus=1).find_genes(records)]
+    threaded = [(g.source.id, g.start, g.end)
+                for g in ScanFinder(cpus=4).find_genes(records)]
+    assert threaded == serial and len(serial) > 200
