@@ -210,7 +210,8 @@ class SeqPack:
             counts[i] = numpy.bincount(
                 numpy.minimum(x, 20), minlength=21
             )[:20]
-        self.counts = jnp.asarray(counts)
+        self.counts_host = counts        # host copy: the bias filter's
+        self.counts = jnp.asarray(counts)  # null reuses it, no recompute
         # one h2d transfer of int8 residues; widen on device
         self.xs = jnp.asarray(xs).astype(jnp.int32)
         self.lens_host = lens            # host copy: length-sorting and

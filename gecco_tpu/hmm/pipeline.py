@@ -46,12 +46,30 @@ import numpy
 
 from . import engine
 from .batch import ProfileBank, forward_scores, msv_scores, ssv_scores
-from .engine import DomainHit, exp_surv, gumbel_surv
+from .engine import DomainHit, exp_surv
 from .profile import SearchProfile, null1_score
 
 __all__ = ["SequenceHit", "SearchPipeline"]
 
 LOG2 = math.log(2.0)
+
+
+def _gumbel_surv_vec(y):
+    """Vectorized Gumbel survival P(S > y) (``esl_gumbel_surv``).
+
+    Two-sided clamp: the ``y > 30`` arm avoids cancellation for tiny
+    tails, the lower clamp at −30 avoids overflow RuntimeWarnings for
+    junk scores (the result is exactly 1.0 there either way).
+    """
+    return numpy.where(
+        y > 30, numpy.exp(-numpy.minimum(y, 700.0)),
+        1.0 - numpy.exp(-numpy.exp(-numpy.clip(y, -30, 30))),
+    )
+
+
+def _pow2_cap(L, floor: int = 5) -> int:
+    """Power-of-two length cap for XLA compile-shape bucketing."""
+    return 1 << max(floor, int(math.ceil(math.log2(max(1, int(L))))))
 
 
 def _exp_surv_vec(bits, tau, lam):
@@ -142,6 +160,7 @@ class SearchPipeline:
         self._pair_forward = None
         self._pair_viterbi = None
         self._pair_domains = None
+        self._max_forward = None
         self._stream_bank = None
 
     def _shared_stream_bank(self):
@@ -186,7 +205,9 @@ class SearchPipeline:
 
         devs = (list(jax.local_devices()) if self.devices == "all"
                 else list(self.devices))
-        return devs if len(devs) > 1 else None
+        if self.devices == "all" and len(devs) <= 1:
+            return None          # nothing to pin or shard
+        return devs or None      # explicit lists always honored
 
     def _search_multi(self, sequences, devices) -> List[SequenceHit]:
         """One search, sequences sharded over local devices.
@@ -292,19 +313,92 @@ class SearchPipeline:
             keep &= pv_all * Z <= self.E
         return pv_all, keep
 
+    def _xla_pair_scores(self, sequences, lengths, surviving, keys, scorer):
+        """Bucketed XLA rescore of surviving pairs: ``(s, p, v)`` arrays.
+
+        Sequences group by power-of-two length cap and go out in
+        64-sequence chunks against the union sub-bank of their
+        survivors; ``pad_to=cap`` pins ONE compiled shape per bucket
+        (without it every chunk compiled at its own ``round_up(max
+        len, 32)`` — review r5: up to dozens of shapes per bucket).
+        """
+        parts_s: List["numpy.ndarray"] = []
+        parts_p: List["numpy.ndarray"] = []
+        parts_v: List["numpy.ndarray"] = []
+        by_cap: Dict[int, List[int]] = {}
+        for i in keys:
+            by_cap.setdefault(_pow2_cap(lengths[i]), []).append(i)
+        for cap, group in sorted(by_cap.items()):
+            for start in range(0, len(group), 64):
+                chunk = group[start : start + 64]
+                union = sorted({p for i in chunk for p in surviving[i]})
+                sub = self._bank.select(union)
+                scores = scorer(
+                    sub, [sequences[i] for i in chunk], pad_to=cap)
+                col = {p: c for c, p in enumerate(union)}
+                for s, i in enumerate(chunk):
+                    mine = numpy.asarray(surviving[i], dtype=numpy.int64)
+                    parts_s.append(numpy.full(len(mine), i, dtype=numpy.int64))
+                    parts_p.append(mine)
+                    parts_v.append(
+                        scores[s, [col[p] for p in mine]].astype(numpy.float64))
+        if not parts_s:
+            z = numpy.zeros(0)
+            return z.astype(numpy.int64), z.astype(numpy.int64), z
+        return (numpy.concatenate(parts_s), numpy.concatenate(parts_p),
+                numpy.concatenate(parts_v))
+
     # -- search ------------------------------------------------------------
 
     def search(self, sequences: Sequence["numpy.ndarray"]) -> List[SequenceHit]:
         """Search all profiles against all encoded sequences."""
         if not self.profiles or not sequences:
+            # reset the accounting so an empty call never reports the
+            # previous batch's numbers
+            self.stage_counts = {}
+            self.stage_seconds = {}
+            self.stage_cells = {}
+            self.stage_devices = 1
             return []
         devices = self._resolve_devices()
-        if devices is not None and len(sequences) > 1:
+        if devices is not None and len(devices) > 1 and len(sequences) > 1:
             return self._search_multi(sequences, devices)
+        if devices:
+            # an explicit device list with one effective device (or a
+            # 1-sequence batch) still pins placement — previously it
+            # was silently ignored and work landed on the default
+            # device the caller may have been avoiding
+            import jax
+
+            previous = self.devices
+            self.devices = None
+            try:
+                with jax.default_device(devices[0]):
+                    return self.search(sequences)
+            finally:
+                self.devices = previous
         Z = self.Z if self.Z is not None else float(len(sequences))
         domZ = self.domZ if self.domZ is not None else Z
         lengths = numpy.array([len(x) for x in sequences])
         nullsc = numpy.array([null1_score(int(L)) for L in lengths])
+        backend = self._resolve_backend() if self.use_accelerator else "xla"
+
+        # Length-bucketing matters only for the XLA engines, whose scan
+        # length is the padded shape.  The Pallas kernels bound their
+        # residue loop by the true length (Lp is just buffer size), so
+        # one global cap minimizes the number of compiled shapes.
+        # The pack is built up-front: one h2d upload of all residues
+        # that every later stage indexes (the remote-attached TPU link
+        # is ~30 MB/s — transfers, not FLOPs, set wall clock).
+        global_cap: Optional[int] = None
+        pack = None
+        if backend == "pallas":
+            longest = int(lengths.max())
+            global_cap = 1 << max(9, int(math.ceil(math.log2(max(1, longest)))))
+            if self.use_accelerator and not self.max_filter:
+                from .kernels import SeqPack
+
+                pack = SeqPack(sequences, global_cap)
 
         # composition bias filter null (F1/F3 gates only)
         use_bias = self.bias_filter and not self.max_filter
@@ -315,11 +409,16 @@ class SearchPipeline:
                 from .kernels import bias_logratio
 
                 self._logratio = bias_logratio(self._bank).astype(numpy.float64)
-            counts = numpy.zeros((len(sequences), 20), dtype=numpy.float64)
-            for i, x in enumerate(sequences):
-                counts[i] = numpy.bincount(
-                    numpy.minimum(x, 20), minlength=21
-                )[:20]
+            if pack is not None:
+                # the pack already counted every sequence's residues
+                counts = pack.counts_host[: len(sequences)].astype(
+                    numpy.float64)
+            else:
+                counts = numpy.zeros((len(sequences), 20), dtype=numpy.float64)
+                for i, x in enumerate(sequences):
+                    counts[i] = numpy.bincount(
+                        numpy.minimum(x, 20), minlength=21
+                    )[:20]
             if len(sequences) * self._bank.P <= 64_000_000:
                 # one BLAS matmul beats per-pair gathers by ~50x
                 # (clipped at >=0 — see filter_extra)
@@ -343,7 +442,6 @@ class SearchPipeline:
             return numpy.maximum(numpy.logaddexp(0.0, delta) - LOG2, 0.0)
 
         # ---- stage 1 (device): SSV/MSV filter of all pairs
-        backend = self._resolve_backend() if self.use_accelerator else "xla"
         pair_scores: Dict[Tuple[int, int], float] = {}
         surviving: Dict[int, List[int]] = {}
         model_lengths = self._bank.lengths.astype(numpy.float64)
@@ -359,26 +457,12 @@ class SearchPipeline:
         self.stage_devices = 1
         t_stage = time.perf_counter()
 
-        # Length-bucketing matters only for the XLA engines, whose scan
-        # length is the padded shape.  The Pallas kernels bound their
-        # residue loop by the true length (Lp is just buffer size), so
-        # one global cap minimizes the number of compiled shapes.
-        global_cap: Optional[int] = None
-        pack = None
-        if backend == "pallas":
-            longest = int(lengths.max())
-            global_cap = 1 << max(9, int(math.ceil(math.log2(max(1, longest)))))
-
         if self.max_filter or not self.use_accelerator:
             for i in range(len(sequences)):
                 surviving[i] = list(range(len(self.profiles)))
         elif backend == "pallas":
-            # one h2d upload of all residues; every later stage indexes
-            # rows of the same device tensors (the remote-attached TPU
-            # link is ~30 MB/s — transfers, not FLOPs, set wall clock)
-            from .kernels import Bucketed, MSVKernel, SSVKernel, SeqPack
+            from .kernels import Bucketed, MSVKernel, SSVKernel
 
-            pack = SeqPack(sequences, global_cap)
             if self._filter_kernel is None:
                 cls = SSVKernel if self.filter_stage == "ssv" else MSVKernel
                 # pow2 widths: ~5 compiled bucket shapes instead of ~18
@@ -399,7 +483,7 @@ class SearchPipeline:
                     return
                 seqs = [sequences[i] for i in bucket]
                 scorer = ssv_scores if self.filter_stage == "ssv" else msv_scores
-                scores = scorer(self._bank, seqs)  # [S, P] nats
+                scores = scorer(self._bank, seqs, pad_to=current_cap)  # [S, P] nats
                 null = nullsc[bucket][:, None]
                 if use_bias:
                     delta = counts[bucket] @ self._logratio  # [bS, P]
@@ -408,11 +492,7 @@ class SearchPipeline:
                 bits = (scores - null) / LOG2
                 lam = self._bank.msv_lambda[None, :]
                 mu = self._bank.msv_mu[None, :]
-                y = lam * (bits - mu)
-                pv = numpy.where(
-                    y > 30, numpy.exp(-y),
-                    1.0 - numpy.exp(-numpy.exp(-numpy.minimum(y, 30))),
-                )
+                pv = _gumbel_surv_vec(lam * (bits - mu))
                 keep = pv <= self.F1
                 for s, i in enumerate(bucket):
                     kept = numpy.nonzero(keep[s])[0].tolist()
@@ -421,7 +501,7 @@ class SearchPipeline:
 
             current_cap: Optional[int] = None
             for i in order:
-                cap = 1 << max(5, int(math.ceil(math.log2(max(1, lengths[i])))))
+                cap = _pow2_cap(lengths[i])
                 if current_cap is None:
                     current_cap = cap
                 if cap != current_cap or len(bucket) >= 256:
@@ -432,7 +512,12 @@ class SearchPipeline:
             flush(bucket)
 
         self.stage_seconds["filter"] = time.perf_counter() - t_stage
-        self.stage_cells["filter"] = float(lengths.sum()) * model_lengths.sum()
+        # cells are only charged when the filter actually scored the
+        # all-pairs matrix; --max / host mode skip it (review r5: the
+        # bench printed an absurd Gcells/s for a stage that did no work)
+        filter_ran = not (self.max_filter or not self.use_accelerator)
+        self.stage_cells["filter"] = (
+            float(lengths.sum()) * model_lengths.sum() if filter_ran else 0.0)
 
         # ---- stage 1.5 (device): Viterbi F2 gate on filter survivors
         # (hmmsearch runs MSV -> bias -> Viterbi -> Forward; skipping the
@@ -462,38 +547,13 @@ class SearchPipeline:
             else:
                 from .batch import viterbi_scores
 
-                parts_s: List["numpy.ndarray"] = []
-                parts_p: List["numpy.ndarray"] = []
-                parts_v: List["numpy.ndarray"] = []
-                by_cap: Dict[int, List[int]] = {}
-                for i in keys:
-                    cap = 1 << max(5, int(math.ceil(math.log2(max(1, lengths[i])))))
-                    by_cap.setdefault(cap, []).append(i)
-                for cap, group in sorted(by_cap.items()):
-                    for start in range(0, len(group), 64):
-                        chunk = group[start : start + 64]
-                        union = sorted({p for i in chunk for p in surviving[i]})
-                        sub = self._bank.select(union)
-                        vit = viterbi_scores(sub, [sequences[i] for i in chunk])
-                        col = {p: c for c, p in enumerate(union)}
-                        for s, i in enumerate(chunk):
-                            mine = numpy.asarray(surviving[i], dtype=numpy.int64)
-                            parts_s.append(numpy.full(len(mine), i, dtype=numpy.int64))
-                            parts_p.append(mine)
-                            parts_v.append(
-                                vit[s, [col[p] for p in mine]].astype(numpy.float64))
-                s_arr = numpy.concatenate(parts_s) if parts_s else numpy.zeros(0, numpy.int64)
-                p_arr = numpy.concatenate(parts_p) if parts_p else numpy.zeros(0, numpy.int64)
-                v_arr = numpy.concatenate(parts_v) if parts_v else numpy.zeros(0)
+                s_arr, p_arr, v_arr = self._xla_pair_scores(
+                    sequences, lengths, surviving, keys, viterbi_scores)
             bits = (v_arr.astype(numpy.float64) - nullsc[s_arr]) / LOG2
             bits -= filter_extra(s_arr, p_arr) / LOG2
             lam = self._bank.vit_lambda[p_arr]
             mu = self._bank.vit_mu[p_arr]
-            y = lam * (bits - mu)
-            pv = numpy.where(
-                y > 30, numpy.exp(-y),
-                1.0 - numpy.exp(-numpy.exp(-numpy.minimum(y, 30))),
-            )
+            pv = _gumbel_surv_vec(lam * (bits - mu))
             keep = pv <= self.F2
             surviving = {}
             for s, p in zip(s_arr[keep], p_arr[keep]):
@@ -516,11 +576,15 @@ class SearchPipeline:
                     ).score
         elif backend == "pallas" and self.max_filter:
             # every pair survives: dense full-bank rescore is cheaper
-            # than gathering a full-bank copy per sequence
-            from .kernels import Bucketed, ForwardKernel
+            # than gathering a full-bank copy per sequence.  Cached on
+            # self like every other kernel — rebuilding re-uploaded the
+            # whole bank (~30 MB/s link) on every search (review r5)
+            if self._max_forward is None:
+                from .kernels import Bucketed, ForwardKernel
 
+                self._max_forward = Bucketed(ForwardKernel, self._bank, pow2=True)
             seqs = [sequences[i] for i in keys]
-            fwd = Bucketed(ForwardKernel, self._bank, pow2=True)(seqs)
+            fwd = self._max_forward(seqs)
             for s, i in enumerate(keys):
                 for p in surviving[i]:
                     pair_scores[(i, p)] = float(fwd[s, p])
@@ -553,20 +617,10 @@ class SearchPipeline:
             }
         else:
             # XLA path: batch × profile-union per length bucket
-            by_cap: Dict[int, List[int]] = {}
-            for i in keys:
-                cap = 1 << max(5, int(math.ceil(math.log2(max(1, lengths[i])))))
-                by_cap.setdefault(cap, []).append(i)
-            for cap, group in sorted(by_cap.items()):
-                for start in range(0, len(group), 64):
-                    chunk = group[start : start + 64]
-                    union = sorted({p for i in chunk for p in surviving[i]})
-                    sub = self._bank.select(union)
-                    fwd = forward_scores(sub, [sequences[i] for i in chunk])
-                    col = {p: c for c, p in enumerate(union)}
-                    for s, i in enumerate(chunk):
-                        for p in surviving[i]:
-                            pair_scores[(i, p)] = float(fwd[s, col[p]])
+            s2, p2, v2 = self._xla_pair_scores(
+                sequences, lengths, surviving, keys, forward_scores)
+            for s, p, v in zip(s2, p2, v2):
+                pair_scores[(int(s), int(p))] = float(v)
 
         self.stage_seconds["forward"] = time.perf_counter() - t_stage
         t_stage = time.perf_counter()
@@ -630,9 +684,27 @@ class SearchPipeline:
                 fwd = engine.forward(gm, x)
                 bits64 = (fwd.score - nullsc[i]) / LOG2
                 tau, lam = gm.hmm.stats.get("FORWARD", (0.0, math.log(2.0)))
+                pv64 = exp_surv(bits64, tau, lam)
+                # re-apply the reporting gates to the float64 rescore:
+                # the f32 gate above admitted the pair, but at a
+                # threshold the f64 value can land outside the
+                # contract (review r5: an f32 evalue of 9.999 whose
+                # f64 value is 10.002 was reported with E > 10)
+                if self.bit_cutoffs is not None:
+                    cutoff = self._cutoff(gm)
+                    if cutoff is not None and bits64 < cutoff[0]:
+                        continue
+                else:
+                    bits_filt = bits64 - float(filter_extra(
+                        numpy.asarray([i]), numpy.asarray([p]))[0]) / LOG2
+                    if not self.max_filter and exp_surv(
+                            bits_filt, tau, lam) > self.F3:
+                        continue
+                    if pv64 * Z > self.E:
+                        continue
                 domains_of[(i, p)] = engine.define_domains(gm, x, fwd)
                 # keep the float64 rescore for reporting on this path
-                rescored.append((i, p, bits64, exp_surv(bits64, tau, lam)))
+                rescored.append((i, p, bits64, pv64))
             candidates = rescored
 
         hits: List[SequenceHit] = []

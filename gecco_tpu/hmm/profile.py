@@ -128,5 +128,12 @@ def length_model(L: int, multihit: bool = True) -> Tuple[float, float]:
 
 
 def null1_score(L: int) -> float:
-    """Null-1 length score in nats (``p7_bg_NullOne``)."""
+    """Null-1 length score in nats (``p7_bg_NullOne``).
+
+    ``L = 0`` is defined as 0.0 (``log(1/(0+1))`` with no emissions) so
+    a degenerate empty sequence in a batch flows through the pipeline
+    scoring no hits instead of raising ``math domain error``.
+    """
+    if L <= 0:
+        return 0.0
     return L * math.log(L / (L + 1.0)) + math.log(1.0 / (L + 1.0))

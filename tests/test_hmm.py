@@ -928,3 +928,53 @@ def test_quad_ssv_near_cap_profile_exact():
     for _idx, sub in buckets.buckets:
         assert int(sub.bank.lengths.max()) <= sub.bank.Mp - 3
         assert sub.quad
+
+
+def test_pipeline_empty_sequence_in_batch(profiles, sequences):
+    """A zero-length sequence in the batch scores no hits instead of
+    crashing the whole search (review r5: null1_score(0) raised
+    math domain error)."""
+    from gecco_tpu.hmm.pipeline import SearchPipeline
+
+    xs = [x for _, x in sequences][:2]
+    batch_with_empty = [xs[0], numpy.zeros(0, dtype=numpy.int64), xs[1]]
+    pipeline = SearchPipeline(profiles, Z=10, domZ=10)
+    hits = pipeline.search(batch_with_empty)
+    assert all(h.sequence_index != 1 for h in hits)
+    # the same sequences still hit at their new indices
+    base = {(h.sequence_index, h.profile.name)
+            for h in SearchPipeline(profiles, Z=10, domZ=10).search(xs)}
+    remapped = {(0 if s == 0 else 1, n)
+                for s, n in ((h.sequence_index, h.profile.name)
+                             for h in hits)}
+    assert remapped == {(0 if s == 0 else 1, n) for s, n in base}
+
+
+def test_pipeline_single_device_list_pins_and_matches(profiles, sequences):
+    """An explicit one-element device list is honored (previously it
+    was silently ignored) and produces identical results."""
+    import jax
+
+    from gecco_tpu.hmm.pipeline import SearchPipeline
+
+    xs = [x for _, x in sequences]
+    pinned = SearchPipeline(profiles, Z=10, domZ=10,
+                            devices=[jax.devices()[3]])
+    default = SearchPipeline(profiles, Z=10, domZ=10)
+    a = pinned.search(xs)
+    b = default.search(xs)
+    assert [(h.sequence_index, h.profile.name, round(h.score, 4))
+            for h in a] == [(h.sequence_index, h.profile.name,
+                             round(h.score, 4)) for h in b]
+    assert len(a) > 0
+
+
+def test_pipeline_stats_reset_on_empty_call(profiles, sequences):
+    """An empty search() must not report the previous batch's stats."""
+    from gecco_tpu.hmm.pipeline import SearchPipeline
+
+    pipeline = SearchPipeline(profiles, Z=10, domZ=10)
+    pipeline.search([x for _, x in sequences])
+    assert pipeline.stage_counts
+    pipeline.search([])
+    assert pipeline.stage_counts == {} and pipeline.stage_cells == {}
