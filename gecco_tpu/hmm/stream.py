@@ -1284,6 +1284,17 @@ class StreamScores:
                 if not len(mine):
                     continue
                 L = int(lens_of[seq_rows[s]])
+                if L == 0:
+                    # an empty sequence scores -inf everywhere; the
+                    # kernel's finish step never fires at lens == 0 and
+                    # would report the scratch-init 0.0 (review r5).
+                    # Each profile belongs to exactly one bucket, so
+                    # emitting per bucket covers every pair once.
+                    out_s.append(numpy.full(len(mine), s, numpy.int64))
+                    out_p.append(mine)
+                    out_v.append(numpy.full(
+                        len(mine), -1e30, numpy.float32))
+                    continue
                 if _pow2(L, _LC * 4) > min(_MAX_LPS, pack.Lp):
                     long_pairs.setdefault(s, []).extend(mine.tolist())
                     continue
@@ -1302,6 +1313,10 @@ class StreamScores:
                 Lmax = max(int(lens_of[seq_rows[s]]) for s, _ in cell)
                 Lps = min(_pow2(Lmax, _LC * 4), pack.Lp)
                 cap = max(1, self.BYTES_BUDGET // (Lps * C * bk.Mp * 4))
+                # _pow2(len(gcells)) pads the dispatch up to the next
+                # power of two — floor the cap so the padded dispatch
+                # still honors the byte budget (review r5)
+                cap = 1 << (cap.bit_length() - 1)
                 if (groups and groups[-1][0] == Lps
                         and len(groups[-1][1]) < cap):
                     groups[-1][1].append(cell)
@@ -1476,9 +1491,11 @@ class StreamDomains:
         interp = _auto_interpret(interpret)
 
         by_bucket: Dict[int, List[Tuple[int, int]]] = {}
-        for s, p in pairs:
-            out.setdefault((s, p), [])
+        for s, p in dict.fromkeys(pairs):   # dedupe: a repeated pair
+            out.setdefault((s, p), [])      # must not report twice
             L = len(sequences[s])
+            if L == 0:
+                continue                    # no residues, no domains
             if _pow2(L, _LC * 4) > _MAX_LPS:
                 out[(s, p)] = engine.define_domains(self.profiles[p], sequences[s])
                 continue
@@ -1505,15 +1522,25 @@ class StreamDomains:
         # sync — the host assembly of one bucket then overlaps the
         # device work of the next
         from ..profiling import TIMER
-        import time as _time
 
-        t_ph = _time.perf_counter()
-        posted: Dict[int, tuple] = {}
+        t_ph = time.perf_counter()
+        # split each bucket's members into groups whose gathered
+        # posterior emission stream stays under the same per-dispatch
+        # byte budget StreamScores enforces (review r5: one unbounded
+        # dispatch could materialize a multi-GB stream and OOM)
+        work: List[Tuple[int, List[Tuple[int, int]]]] = []
         for b, members in sorted(by_bucket.items()):
             _idx, bk = self.buckets[b]
-            # sort by length so chunk-skipping keeps cells tight
             members = sorted(members, key=lambda sp: len(sequences[sp[0]]))
-            by_bucket[b] = members
+            Lmax_b = max(len(sequences[s]) for s, _ in members)
+            Lps_b = min(_pow2(Lmax_b, _LC), _MAX_LPS)
+            cap = max(8, int(StreamScores.BYTES_BUDGET
+                             // (Lps_b * bk.Mp * 4)))
+            for g0 in range(0, len(members), cap):
+                work.append((b, members[g0 : g0 + cap]))
+        posted: Dict[int, tuple] = {}
+        for w, (b, members) in enumerate(work):
+            _idx, bk = self.buckets[b]
             R0 = len(members)
             Lmax = max(len(sequences[s]) for s, _ in members)
             # wide buckets take narrower cells: the [Lc, C, Mp]
@@ -1533,7 +1560,7 @@ class StreamDomains:
                 while Lc > _LC and (pack.Lp // Lc) * Lc < Lmax:
                     Lc //= 2
                 Lps = max(Lc, (pack.Lp // Lc) * Lc)
-                if Lps < Lmax:
+                if Lps < Lmax or Lps > pack.Lp:
                     raise ValueError(
                         f"pack width {pack.Lp} cannot cover the longest "
                         f"sequence ({Lmax} residues) at stream-chunk "
@@ -1559,11 +1586,11 @@ class StreamDomains:
                 jnp.asarray(rows), jnp.asarray(prof),
                 jnp.asarray(lens_np.reshape(cells, C)),
             )
-            posted[b] = (handles, R, nLc, Lc)
+            posted[w] = (handles, R, nLc, Lc)
 
         TIMER.records.append(
-            ("dom.post-dispatch", _time.perf_counter() - t_ph))
-        t_ph = _time.perf_counter()
+            ("dom.post-dispatch", time.perf_counter() - t_ph))
+        t_ph = time.perf_counter()
         # phase 2: fetch EVERY bucket's envelopes in one host round
         # trip, then assemble + dispatch the alignment passes (each
         # per-array fetch over a remote device costs ~25 ms of tunnel
@@ -1571,12 +1598,12 @@ class StreamDomains:
         import jax
 
         fetched_post = dict(zip(sorted(posted), jax.device_get(
-            [posted[b][0] for b in sorted(posted)])))
+            [posted[w][0] for w in sorted(posted)])))
         aligned: Dict[int, tuple] = {}
-        for b, members in sorted(by_bucket.items()):
+        for w, (b, members) in enumerate(work):
             _idx, bk = self.buckets[b]
-            _handles, R, nLc, Lc = posted[b]
-            score_d, env_i_d, env_j_d, over_d = fetched_post[b]
+            _handles, R, nLc, Lc = posted[w]
+            score_d, env_i_d, env_j_d, over_d = fetched_post[w]
             score = score_d.reshape(R)
             env_i = env_i_d.reshape(R, -1)
             env_j = env_j_d.reshape(R, -1)
@@ -1641,16 +1668,17 @@ class StreamDomains:
                 jnp.asarray(jv.reshape(cells_a, Ca)),
                 jnp.asarray(tot.reshape(cells_a, Ca)),
             )
-            aligned[b] = (outs, Ra, order, env_rows, env_pair)
+            aligned[w] = (outs, Ra, order, env_rows, env_pair)
 
         TIMER.records.append(
-            ("dom.env+align-dispatch", _time.perf_counter() - t_ph))
-        t_ph = _time.perf_counter()
+            ("dom.env+align-dispatch", time.perf_counter() - t_ph))
+        t_ph = time.perf_counter()
         # phase 3: ONE round trip for every bucket's alignment results
         fetched_align = dict(zip(sorted(aligned), jax.device_get(
-            [aligned[b][0] for b in sorted(aligned)])))
-        for b, (_outs, Ra, order, env_rows, env_pair) in sorted(aligned.items()):
-            outs = fetched_align[b]
+            [aligned[w][0] for w in sorted(aligned)])))
+        class_cum: Dict[int, "numpy.ndarray"] = {}
+        for w, (_outs, Ra, order, env_rows, env_pair) in sorted(aligned.items()):
+            outs = fetched_align[w]
             envsc = outs[0].reshape(Ra)
             logn2 = outs[1].reshape(Ra, 24)
             tfv = outs[2].reshape(Ra)
@@ -1658,7 +1686,6 @@ class StreamDomains:
             hfv = outs[4].reshape(Ra)
             htv = outs[5].reshape(Ra)
 
-            class_cum: Dict[int, "numpy.ndarray"] = {}
             for slot, e in enumerate(order):
                 s, _ploc, ienv, jenv, _sc = env_rows[e]
                 p = env_pair[e][1]
@@ -1691,7 +1718,7 @@ class StreamDomains:
                     pvalue=float(exp_surv(bits, tau, lam)),
                 ))
         TIMER.records.append(
-            ("dom.align-fetch", _time.perf_counter() - t_ph))
+            ("dom.align-fetch", time.perf_counter() - t_ph))
         # domains come out in envelope-slot order per pair; restore
         # coordinate order (the host engine emits them left-to-right)
         for key in out:

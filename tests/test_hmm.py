@@ -978,3 +978,25 @@ def test_pipeline_stats_reset_on_empty_call(profiles, sequences):
     assert pipeline.stage_counts
     pipeline.search([])
     assert pipeline.stage_counts == {} and pipeline.stage_cells == {}
+
+
+def test_stream_scores_empty_sequence_scores_neg_inf(profiles, sequences):
+    """A zero-length sequence's pairs score -inf from StreamScores
+    instead of the scratch-init 0.0 (review r5 — 0.0 bits could pass
+    the F3/E gates and fabricate a candidate)."""
+    from gecco_tpu.hmm.kernels import SeqPack
+    from gecco_tpu.hmm.stream import StreamScores
+
+    bank = batch.ProfileBank.build(profiles)
+    xs = [x for _, x in sequences][:1] + [numpy.zeros(0, dtype=numpy.int64)]
+    pack = SeqPack(xs, 1024)
+    scores = StreamScores(bank)
+    s_arr, p_arr, v_arr = scores.flat_packed(
+        pack, numpy.arange(len(xs), dtype=numpy.int32),
+        [[0, 1], [0, 1, 2]], interpret=True)
+    for s, p, v in zip(s_arr, p_arr, v_arr):
+        if s == 1:
+            assert v <= -1e29, (s, p, v)
+        else:
+            assert v > -1e29
+    assert (s_arr == 1).sum() == 3
