@@ -117,7 +117,10 @@ def fisher_significance(
             features_[in_cluster][domain.name].add(protein.id)
 
     significance = {}
-    for feature in set(features_[False]).union(features_[True]):
+    # sorted union: p-value ties are broken by insertion order further
+    # down, and set iteration order varies with PYTHONHASHSEED — a
+    # seeded training run must be reproducible across processes
+    for feature in sorted(set(features_[False]).union(features_[True])):
         significance[feature] = fisher_exact_two_tailed(
             len(features_[True][feature]),
             len(proteins_[True]) - len(features_[True][feature]),

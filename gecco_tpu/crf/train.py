@@ -86,15 +86,25 @@ def fit_crf(
     learning_rate: float = 0.05,
     tolerance: float = 1e-6,
 ) -> None:
-    """Fit ``crf`` in place on the given training genes."""
+    """Fit ``crf`` in place on the given training genes.
+
+    The objective and gradients evaluate in float32 on the device;
+    ``tolerance`` below ~1e-7 relative cannot be honored (a float32
+    ulp of a genome-scale summed NLL is larger), and the optimizer
+    stops when improvements fall below float32 resolution.
+    """
     import jax
     import jax.numpy as jnp
-    import optax
 
     genes = list(genes)
 
     # -- optional Fisher feature selection (crf/__init__.py:319-345)
-    if select is not None:
+    if select is None:
+        # a refit without selection must not carry a previous fit's
+        # significance metadata into save() (review r5)
+        crf.significance = None
+        crf.significant_features = None
+    else:
         from .select import fisher_significance
 
         if select <= 0 or select > 1:
@@ -104,6 +114,10 @@ def fit_crf(
             correction_method=correction_method,
         )
         sorted_sig = sorted(sig, key=sig.get)[: int(select * len(sig))]
+        if not sorted_sig:
+            raise ValueError(
+                f"select={select} keeps 0 of {len(sig)} features; "
+                "increase the selected fraction")
         crf.significant_features = frozenset(sorted_sig)
         if sig[sorted_sig[-1]] == 1.0:
             warnings.warn(
@@ -131,10 +145,10 @@ def fit_crf(
     A = len(vocabulary)
     W = crf.window_size
     N = len(windows)
-    dmax = max(
-        (len(feats) for window in windows for feats in window), default=1
-    )
-    dmax = max(dmax, 1)
+    # windows is non-empty and every window has W >= 1 positions; the
+    # max(..., 1) handles the all-empty-feature-dicts corpus (dmax == 0)
+    dmax = max(max(
+        len(feats) for window in windows for feats in window), 1)
 
     idx = numpy.full((N, W, dmax), A, dtype=numpy.int32)  # A = padding row
     y = numpy.zeros((N, W), dtype=numpy.int32)
@@ -146,6 +160,15 @@ def fit_crf(
 
     c1 = float(crf._options.get("c1", 0.0))
     c2 = float(crf._options.get("c2", 0.0))
+    ignored = set(crf._options) - {"c1", "c2"}
+    if ignored:
+        # the reference forwards arbitrary options to CRFsuite; this
+        # trainer implements the elastic net only — say so instead of
+        # silently training with defaults (a typo like C1= would
+        # otherwise produce a dense unregularized model)
+        warnings.warn(
+            f"ignoring unsupported CRF training options: {sorted(ignored)} "
+            "(this trainer supports c1/c2)", UserWarning)
 
     idx_j = jnp.asarray(idx)
     y_j = jnp.asarray(y)
@@ -185,10 +208,9 @@ def fit_crf(
         raise ValueError(f"unsupported training algorithm: {algorithm!r}")
     # record the final objective (CRFsuite keeps a trainer log in the
     # pickled model; this is our equivalent for inspection/tests)
-    import jax.numpy as _jnp
 
-    final = float(nll((_jnp.asarray(state, _jnp.float32),
-                       _jnp.asarray(trans, _jnp.float32))))
+    final = float(nll((jnp.asarray(state, jnp.float32),
+                       jnp.asarray(trans, jnp.float32))))
     crf.last_objective_ = final + c1 * float(
         numpy.abs(state).sum() + numpy.abs(trans).sum()
     )
