@@ -1000,3 +1000,28 @@ def test_stream_scores_empty_sequence_scores_neg_inf(profiles, sequences):
         else:
             assert v > -1e29
     assert (s_arr == 1).sum() == 3
+
+
+def test_pipeline_max_filter_superset(profiles, sequences):
+    """`max_filter=True` (hmmsearch --max) skips the F1/F2 gates: its
+    reported hits are a superset of the default pipeline's, repeated
+    searches reuse the cached dense Forward engine, and the skipped
+    filter stage charges no cells (review r5)."""
+    from gecco_tpu.hmm.pipeline import SearchPipeline
+
+    xs = [x for _, x in sequences]
+    default = SearchPipeline(profiles, Z=10, domZ=10)
+    # backend="pallas" (interpret mode on CPU): the dense-rescore cache
+    # under test only exists on that backend
+    maxp = SearchPipeline(profiles, Z=10, domZ=10, max_filter=True,
+                          backend="pallas")
+    base = {(h.sequence_index, h.profile.name) for h in default.search(xs)}
+    first = maxp.search(xs)
+    got = {(h.sequence_index, h.profile.name) for h in first}
+    assert base <= got and len(first) > 0
+    assert maxp.stage_cells["filter"] == 0.0
+    engine_obj = maxp._max_forward
+    assert engine_obj is not None
+    second = maxp.search(xs)
+    assert maxp._max_forward is engine_obj          # cached, not rebuilt
+    assert {(h.sequence_index, h.profile.name) for h in second} == got
